@@ -1,0 +1,123 @@
+"""Deterministic synthetic dataset with HiD-VAE-shaped structure.
+
+Not present in the reference (which ships only real-data builders needing
+network downloads); used here for tests, benchmarks, and offline end-to-end
+runs. The generator mimics the statistical shape of the Amazon Beauty corpus
+the reference trains on (SURVEY.md §2.5):
+
+  * items: unit-norm 768-d "text embeddings" drawn from a hierarchical
+    mixture — L levels of cluster centers so that residual quantization and
+    per-level tags have real signal;
+  * tags: each item's level-l tag index = its level-l cluster, with a
+    heavy-tailed class distribution (so rare-tag remapping has work to do);
+    tag embeddings = unit-norm cluster centers + noise;
+  * users: preference-cluster random walks with leave-one-out future targets;
+  * 95/5 item train/eval split with a fixed seed (matching the reference's
+    seed-42 convention, tags_amazon.py:410-413).
+"""
+
+from typing import Sequence
+
+import numpy as np
+
+from hidvae_tpu.data.processed import ProcessedArrays
+
+
+def build_synthetic(
+    n_items: int = 2000,
+    n_users: int = 500,
+    feature_dim: int = 768,
+    tag_dim: int = 768,
+    n_levels: int = 3,
+    level_branching: Sequence[int] = (8, 4, 4),
+    max_seq_len: int = 20,
+    min_seq_len: int = 5,
+    n_cat_feats: int = 0,
+    seed: int = 42,
+) -> ProcessedArrays:
+    rng = np.random.RandomState(seed)
+
+    # --- hierarchical cluster tree ---
+    # level l has prod(branching[:l+1]) clusters; each item belongs to one
+    # leaf path (c0, c1, c2).
+    n_l0 = level_branching[0]
+    paths = np.zeros((n_items, n_levels), np.int32)
+    paths[:, 0] = rng.randint(0, n_l0, n_items)
+    for l in range(1, n_levels):
+        width = level_branching[l]
+        paths[:, l] = paths[:, l - 1] * width + rng.randint(0, width, n_items)
+
+    # Cluster centers per level with decreasing scale (residual structure).
+    centers = []
+    for l in range(n_levels):
+        n_cl = int(np.prod(level_branching[: l + 1]))
+        scale = 1.0 / (2.0 ** l)
+        centers.append(rng.randn(n_cl, feature_dim).astype(np.float32) * scale)
+
+    feats = np.zeros((n_items, feature_dim), np.float32)
+    for l in range(n_levels):
+        feats += centers[l][paths[:, l]]
+    feats += 0.05 * rng.randn(n_items, feature_dim).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    if n_cat_feats > 0:
+        cats = (rng.rand(n_items, n_cat_feats) < 0.2).astype(np.float32)
+        feats = np.concatenate([feats, cats], axis=-1)
+
+    # --- tags: level-l tag = level-l cluster id, skewed by dropping some
+    # clusters into a long tail ---
+    tags_indices = paths.copy()
+    tags_emb = np.zeros((n_items, n_levels, tag_dim), np.float32)
+    for l in range(n_levels):
+        n_cl = centers[l].shape[0]
+        tag_centers = rng.randn(n_cl, tag_dim).astype(np.float32)
+        tag_centers /= np.linalg.norm(tag_centers, axis=-1, keepdims=True)
+        tags_emb[:, l] = tag_centers[tags_indices[:, l]]
+    tags_emb += 0.02 * rng.randn(*tags_emb.shape).astype(np.float32)
+
+    # --- 95/5 item split ---
+    item_is_train = rng.rand(n_items) >= 0.05
+
+    # --- user sequences: preference-cluster walks ---
+    seq_users, seq_items, seq_fut, seq_is_train = [], [], [], []
+    items_by_l0 = [np.nonzero(paths[:, 0] == c)[0] for c in range(n_l0)]
+    for u in range(n_users):
+        pref = rng.randint(0, n_l0)
+        pool = items_by_l0[pref]
+        if len(pool) < min_seq_len + 2:
+            pool = np.arange(n_items)
+        length = rng.randint(min_seq_len, max_seq_len + 1)
+        # Mix preferred cluster with random exploration.
+        seq = np.where(
+            rng.rand(length + 2) < 0.8,
+            rng.choice(pool, length + 2),
+            rng.randint(0, n_items, length + 2),
+        )
+        # Leave-one-out: train seq = items[:-2] with target items[-2]... the
+        # reference uses items[:-2] train / items[-2] eval / items[-1] test
+        # (data/amazon.py:65-91); we emit train + eval rows.
+        hist_train = seq[:-2]
+        padded_train = np.full(max_seq_len, -1, np.int32)
+        padded_train[: len(hist_train)] = hist_train[:max_seq_len]
+        seq_users.append(u)
+        seq_items.append(padded_train)
+        seq_fut.append(seq[-2])
+        seq_is_train.append(True)
+
+        hist_eval = seq[:-1]
+        padded_eval = np.full(max_seq_len, -1, np.int32)
+        padded_eval[: min(len(hist_eval), max_seq_len)] = hist_eval[:max_seq_len]
+        seq_users.append(u)
+        seq_items.append(padded_eval)
+        seq_fut.append(seq[-1])
+        seq_is_train.append(False)
+
+    return ProcessedArrays(
+        item_features=feats,
+        item_is_train=item_is_train,
+        seq_users=np.array(seq_users, np.int32),
+        seq_items=np.stack(seq_items),
+        seq_fut=np.array(seq_fut, np.int32),
+        seq_is_train=np.array(seq_is_train, bool),
+        tags_emb=tags_emb,
+        tags_indices=tags_indices,
+    )

@@ -1,0 +1,272 @@
+"""Encoder-decoder generative retrieval model + constrained beam search.
+
+Parity: reference modules/model.py (EncoderDecoderRetrievalModel). User
+embedding prepended to the semantic-ID history with learned absolute positions
+(wpe); the future/target side is a learned BOS + target-digit embeddings +
+token-type embeddings; separate input projections for context and target
+(ref model.py:111-161). Training loss: per-digit cross-entropy against
+sem_ids_fut with out-of-range targets clamped and ignored, per-sample sum then
+batch mean, plus the per-digit loss vector loss_d (ref :321-363).
+
+TPU redesign of generation (ref :163-319): the reference mutates batch shapes
+mid-loop (repeat_interleave on step 0) and patches a Python-side encoder
+cache; here beam search runs with fixed [B*k] shapes from step 0 (beam 0 seeded
+with log-prob 0, the rest -1e9), the encoder output is computed once and
+broadcast, and the corpus-prefix verifier is the sorted-table binary search
+from hidvae_tpu.ops.prefix_search running inside the same jitted program.
+Stochastic candidate sampling uses the Gumbel-top-k trick (equivalent to the
+reference's multinomial-without-replacement draw of 200 candidates).
+
+The reference's `jagged_mode` NestedTensor path and its Triton kernel are
+intentionally absent: dense padded attention with masks is the idiomatic XLA
+equivalent (SURVEY.md §2.1).
+"""
+
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from hidvae_tpu.data.schemas import TokenizedSeqBatch
+from hidvae_tpu.models.embedder import SemIdEmbedder, UserIdEmbedder
+from hidvae_tpu.models.layers import RMSNorm
+from hidvae_tpu.models.transformer import TransformerEncoderDecoder
+from hidvae_tpu.ops.prefix_search import exists_prefix
+
+NEG_LARGE = -1.0e9
+INVALID_PENALTY = -10000.0  # ref model.py:217
+
+
+@struct.dataclass
+class ModelOutput:
+    loss: Optional[jax.Array]
+    logits: jax.Array
+    loss_d: Optional[jax.Array]
+
+
+@struct.dataclass
+class GenerationOutput:
+    sem_ids: jax.Array     # [B, k, D]
+    log_probas: jax.Array  # [B, k]
+
+
+class EncoderDecoderRetrievalModel(nn.Module):
+    """Stage-2 retrieval model (ref modules/model.py:41-376)."""
+
+    embedding_dim: int
+    attn_dim: int
+    dropout: float
+    num_heads: int
+    n_layers: int
+    num_embeddings: int
+    sem_id_dim: int
+    max_pos: int = 2048
+    n_sem_layers: int = 3
+    use_interleaved_ids: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.bos_emb = self.param(
+            "bos_emb",
+            lambda rng, shape: jax.random.uniform(rng, shape),  # torch.rand (ref :68)
+            (self.embedding_dim,),
+        )
+        self.norm = RMSNorm(self.embedding_dim, name="norm")
+        self.norm_cxt = RMSNorm(self.embedding_dim, name="norm_cxt")
+        self.sem_id_embedder = SemIdEmbedder(
+            num_embeddings=self.num_embeddings,
+            sem_ids_dim=self.sem_id_dim,
+            embeddings_dim=self.embedding_dim,
+            n_sem_layers=self.n_sem_layers,
+            use_interleaved_ids=self.use_interleaved_ids,
+            name="sem_id_embedder",
+        )
+        self.user_id_embedder = UserIdEmbedder(2000, self.embedding_dim, name="user_id_embedder")
+        self.wpe = nn.Embed(self.max_pos, self.embedding_dim, name="wpe")
+        self.tte = nn.Embed(self.sem_id_dim, self.embedding_dim, name="tte")
+        self.transformer = TransformerEncoderDecoder(
+            d_out=self.attn_dim,
+            num_heads=self.num_heads,
+            encoder_layers=self.n_layers // 2,
+            decoder_layers=self.n_layers // 2,
+            dropout=self.dropout,
+            name="transformer",
+            dtype=self.dtype,
+        )
+        self.in_proj = nn.Dense(self.attn_dim, use_bias=False, name="in_proj")
+        self.in_proj_context = nn.Dense(self.attn_dim, use_bias=False, name="in_proj_context")
+        self.out_proj = nn.Dense(self.num_embeddings, use_bias=False, name="out_proj")
+        # Input dropout p=0.5 (hardcoded in the reference, model.py:71).
+        self.input_do = nn.Dropout(0.5)
+
+    # ---- context (history) path ----
+
+    def _context_embedding(self, batch: TokenizedSeqBatch, train: bool):
+        user_emb = self.user_id_embedder(batch.user_ids)          # [B, E]
+        seq_emb = self.sem_id_embedder(batch).seq                 # [B, T, E]
+        b, t, _ = seq_emb.shape
+        pos = jnp.arange(t, dtype=jnp.int32)[None, :]
+        wpe = self.wpe(pos)
+        ctx = jnp.concatenate([user_emb[:, None, :], wpe + seq_emb], axis=1)
+        ctx_mask = jnp.concatenate(
+            [jnp.ones((b, 1), bool), batch.seq_mask], axis=1
+        )
+        ctx = self.in_proj_context(
+            self.input_do(self.norm(ctx), deterministic=not train)
+        )
+        return ctx, ctx_mask
+
+    def encode_context(self, batch: TokenizedSeqBatch, train: bool = False):
+        """Run the encoder once over the history; reused across beam steps
+        (replaces the reference's cached_enc_output, model.py:181-186)."""
+        ctx, ctx_mask = self._context_embedding(batch, train)
+        enc = self.transformer.encode(ctx, padding_mask=ctx_mask, train=train)
+        return enc, ctx_mask
+
+    # ---- target (future digits) path ----
+
+    def _fut_embedding(self, sem_ids_fut, token_type_ids_fut, user_ids, train: bool):
+        b = sem_ids_fut.shape[0]
+        fut_batch = TokenizedSeqBatch(
+            user_ids=user_ids,
+            sem_ids=sem_ids_fut,
+            sem_ids_fut=None,
+            seq_mask=jnp.ones_like(sem_ids_fut, bool),
+            token_type_ids=token_type_ids_fut,
+            token_type_ids_fut=None,
+        )
+        fut_emb = self.sem_id_embedder(fut_batch).seq            # [B, Df, E]
+        tte = self.tte(token_type_ids_fut)
+        bos = jnp.broadcast_to(self.bos_emb, (b, 1, self.embedding_dim))
+        x = jnp.concatenate([bos, fut_emb + tte], axis=1)        # [B, Df+1, E]
+        return self.in_proj(self.input_do(self.norm_cxt(x), deterministic=not train))
+
+    def decode_logits(
+        self,
+        enc,
+        ctx_mask,
+        sem_ids_fut,
+        token_type_ids_fut,
+        user_ids,
+        train: bool = False,
+    ):
+        """Causal decoder over BOS + target digits -> [B, Df+1, K] logits."""
+        x = self._fut_embedding(sem_ids_fut, token_type_ids_fut, user_ids, train)
+        dec = self.transformer.decode(x, enc, context_padding_mask=ctx_mask, train=train)
+        return self.out_proj(dec)
+
+    # ---- training / eval forward ----
+
+    def __call__(self, batch: TokenizedSeqBatch, train: bool = False) -> ModelOutput:
+        """CE training forward (ref model.py:321-363)."""
+        enc, ctx_mask = self.encode_context(batch, train)
+        logits_all = self.decode_logits(
+            enc, ctx_mask, batch.sem_ids_fut, batch.token_type_ids_fut,
+            batch.user_ids, train,
+        )
+        logits = logits_all[:, :-1, :]                    # predict digit d from BOS..d-1
+        target = batch.sem_ids_fut
+        ignore = (target < 0) | (target >= self.num_embeddings)
+        valid_target = jnp.where(ignore, 0, target)
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        token_loss = -jnp.take_along_axis(
+            log_probs, valid_target[..., None], axis=-1
+        )[..., 0]
+        token_loss = jnp.where(ignore, 0.0, token_loss)   # [B, D]
+        loss = jnp.mean(jnp.sum(token_loss, axis=1))
+        loss_d = jnp.mean(token_loss, axis=0)
+        return ModelOutput(loss=loss, logits=logits_all, loss_d=loss_d)
+
+    # ---- constrained beam generation ----
+
+    def generate_next_sem_id(
+        self,
+        batch: TokenizedSeqBatch,
+        prefix_index=None,
+        *,
+        temperature: float = 1.0,
+        top_k: bool = True,
+        sample: bool = False,
+        rng=None,
+    ) -> GenerationOutput:
+        """Prefix-constrained beam search over sem_id_dim digits
+        (ref model.py:163-319), fixed shapes throughout.
+
+        prefix_index: lexicographically-sorted corpus ID table from
+        hidvae_tpu.ops.prefix_search.build_prefix_index (the reference's
+        `inference_verifier_fn` closure over tokenizer.exists_prefix,
+        train_transformer.py:346); None disables the constraint.
+        sample=True draws candidates with Gumbel-top-k (the reference's
+        multinomial sampling); False takes deterministic top-k.
+        """
+        b = batch.sem_ids.shape[0]
+        d = self.sem_id_dim
+        k = 32 if top_k else 1            # ref :177
+        n_cand = 200 if top_k else 1      # ref :178
+        n_cand = min(n_cand, self.num_embeddings)
+
+        enc, ctx_mask = self.encode_context(batch, train=False)
+        # Broadcast encoder state to beams: [B*k, ...].
+        enc_b = jnp.repeat(enc, k, axis=0)
+        mask_b = jnp.repeat(ctx_mask, k, axis=0)
+        user_b = jnp.repeat(batch.user_ids, k, axis=0)
+        ttids = jnp.tile(jnp.arange(d, dtype=jnp.int32)[None, :], (b * k, 1))
+
+        generated = jnp.zeros((b, k, d), jnp.int32)
+        log_probs = jnp.full((b, k), NEG_LARGE)
+        log_probs = log_probs.at[:, 0].set(0.0)
+
+        for i in range(d):
+            dec_in = generated.reshape(b * k, d)
+            logits_all = self.decode_logits(
+                enc_b, mask_b, dec_in, ttids, user_b, train=False
+            )
+            step_logits = logits_all[:, i, :]                  # [B*k, K]
+            step_logp = jax.nn.log_softmax(step_logits / temperature, axis=-1)
+
+            if sample and rng is not None:
+                g = -jnp.log(-jnp.log(
+                    jax.random.uniform(jax.random.fold_in(rng, i),
+                                       step_logp.shape) + 1e-20) + 1e-20)
+                sel_scores = step_logp + g
+            else:
+                sel_scores = step_logp
+            _, cand_ids = jax.lax.top_k(sel_scores, n_cand)    # [B*k, C]
+            cand_logp = jnp.take_along_axis(step_logp, cand_ids, axis=-1)
+
+            if prefix_index is not None:
+                prefix = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(
+                            dec_in[:, None, :i], (b * k, n_cand, i)
+                        ),
+                        cand_ids[..., None],
+                    ],
+                    axis=-1,
+                )                                              # [B*k, C, i+1]
+                valid = exists_prefix(prefix_index, prefix)
+            else:
+                valid = jnp.ones_like(cand_ids, bool)
+
+            scores = (
+                INVALID_PENALTY * (~valid)
+                + cand_logp
+                + log_probs.reshape(b * k, 1)
+            ).reshape(b, k * n_cand)
+
+            top_scores, top_idx = jax.lax.top_k(scores, k)     # [B, k]
+            parent = top_idx // n_cand                         # beam index
+            cand_slot = top_idx % n_cand
+            digits = jnp.take_along_axis(
+                cand_ids.reshape(b, k * n_cand), top_idx, axis=-1
+            )                                                  # [B, k]
+
+            generated = jnp.take_along_axis(
+                generated, parent[..., None], axis=1
+            )
+            generated = generated.at[:, :, i].set(digits)
+            log_probs = top_scores
+
+        return GenerationOutput(sem_ids=generated, log_probas=log_probs)

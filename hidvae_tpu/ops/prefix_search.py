@@ -1,0 +1,121 @@
+"""On-device corpus prefix verification for constrained generation.
+
+Capability parity: reference modules/tokenizer/h_semids.py:197-239
+(`exists_prefix`), which does a chunked O(Q * N * D) all-pairs equality sweep
+against the cached corpus ID table.
+
+TPU redesign: the corpus table is lexicographically sorted once
+(`build_prefix_index`), and each query prefix becomes two vectorized
+lexicographic binary searches (lower/upper bound) — O(Q * D * log N) with fully
+static shapes, so the verifier can live *inside* the jitted beam-search loop.
+A prefix exists iff the upper-bound rank exceeds the lower-bound rank.
+
+Also provides `duplicate_ranks`, the collision-rank column used by the plain
+SemanticIdTokenizer's `use_dedup_dim` (inferred from train_rqvae.py:321-323,
+see SURVEY.md §0.1).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+_NEG = jnp.iinfo(jnp.int32).min
+_POS = jnp.iinfo(jnp.int32).max
+
+
+def build_prefix_index(corpus_ids):
+    """Sort corpus ID rows lexicographically. corpus_ids: [N, D] int32."""
+    corpus_ids = corpus_ids.astype(jnp.int32)
+    keys = tuple(corpus_ids[:, d] for d in range(corpus_ids.shape[1] - 1, -1, -1))
+    order = jnp.lexsort(keys)
+    return corpus_ids[order]
+
+
+def _lex_less(rows, queries):
+    """rows, queries: [Q, D] -> [Q] bool, True where rows <lex queries."""
+    neq = rows != queries
+    any_neq = jnp.any(neq, axis=-1)
+    first = jnp.argmax(neq, axis=-1)
+    q_idx = jnp.arange(rows.shape[0])
+    return any_neq & (rows[q_idx, first] < queries[q_idx, first])
+
+
+def _lex_bound(sorted_corpus, queries, inclusive: bool):
+    """Vectorized lexicographic rank: for each query row, the number of corpus
+    rows that compare strictly less (lower bound) or less-or-equal (upper
+    bound, `inclusive=True`). queries: [Q, D] -> [Q] int32."""
+    n = sorted_corpus.shape[0]
+    # Range shrinks to <= ceil(n / 2^k) after k steps; +2 covers the final
+    # closing iteration on a range of 1.
+    steps = max(1, math.ceil(math.log2(max(n, 2)))) + 2
+    lo = jnp.zeros((queries.shape[0],), jnp.int32)
+    hi = jnp.full((queries.shape[0],), n, jnp.int32)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        rows = jnp.take(sorted_corpus, jnp.clip(mid, 0, n - 1), axis=0)
+        less = _lex_less(rows, queries)
+        if inclusive:
+            less = less | jnp.all(rows == queries, axis=-1)
+        active = lo < hi
+        lo = jnp.where(active & less, mid + 1, lo)
+        hi = jnp.where(active & ~less, mid, hi)
+        return lo, hi
+
+    lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return lo
+
+
+def exists_prefix(sorted_corpus, prefixes):
+    """Check whether each prefix matches at least one corpus row.
+
+    sorted_corpus: [N, D] int32 from `build_prefix_index`.
+    prefixes: [..., P] int32 with P <= D (static).
+    Returns bool array of shape prefixes.shape[:-1].
+    """
+    batch_shape = prefixes.shape[:-1]
+    p = min(prefixes.shape[-1], sorted_corpus.shape[-1])  # ref h_semids.py:207
+    d = sorted_corpus.shape[-1]
+    q = prefixes[..., :p].reshape(-1, p).astype(jnp.int32)
+    pad_lo = jnp.full((q.shape[0], d - p), _NEG, jnp.int32)
+    pad_hi = jnp.full((q.shape[0], d - p), _POS, jnp.int32)
+    lo_rank = _lex_bound(sorted_corpus, jnp.concatenate([q, pad_lo], axis=-1), inclusive=False)
+    hi_rank = _lex_bound(sorted_corpus, jnp.concatenate([q, pad_hi], axis=-1), inclusive=True)
+    return (hi_rank > lo_rank).reshape(batch_shape)
+
+
+def exists_prefix_dense(corpus_ids, prefixes):
+    """Reference-equivalent all-pairs prefix match (h_semids.py:197-239), used
+    for correctness cross-checks and tiny corpora. O(Q * N * P)."""
+    batch_shape = prefixes.shape[:-1]
+    p = min(prefixes.shape[-1], corpus_ids.shape[-1])
+    q = prefixes[..., :p].reshape(-1, p)
+    hit = jnp.all(q[:, None, :] == corpus_ids[None, :, :p], axis=-1)
+    return jnp.any(hit, axis=-1).reshape(batch_shape)
+
+
+def duplicate_ranks(corpus_ids):
+    """Per-row duplicate rank among identical ID tuples, in corpus order.
+
+    Row i gets rank r if it is the (r+1)-th occurrence (by original index) of
+    its exact ID tuple. This is the dedup column appended by the plain
+    SemanticIdTokenizer (`use_dedup_dim`); `max(ranks) + 1` = max duplicates
+    (consumed at train_rqvae.py:321-322).
+    """
+    n = corpus_ids.shape[0]
+    ids = corpus_ids.astype(jnp.int32)
+    # Sort with original index as the final tiebreaker so ranks follow corpus order.
+    keys = (jnp.arange(n, dtype=jnp.int32),) + tuple(
+        ids[:, d] for d in range(ids.shape[1] - 1, -1, -1)
+    )
+    order = jnp.lexsort(keys)
+    sorted_ids = ids[order]
+    new_group = jnp.concatenate(
+        [jnp.array([True]), jnp.any(sorted_ids[1:] != sorted_ids[:-1], axis=-1)]
+    )
+    pos = jnp.arange(n)
+    group_start = jax.lax.associative_scan(jnp.maximum, jnp.where(new_group, pos, 0))
+    ranks_sorted = (pos - group_start).astype(jnp.int32)
+    return jnp.zeros((n,), jnp.int32).at[order].set(ranks_sorted)

@@ -1,0 +1,142 @@
+"""Plain semantic-ID tokenizer service around a frozen RQ-VAE.
+
+This component is MISSING from the reference repo (modules/tokenizer/semids.py
+is imported by train_rqvae.py:20 / train_transformer.py:28 but was never
+committed — SURVEY.md §0.1). The API here is reconstructed from its call sites:
+  * constructor kwargs at train_rqvae.py:188-198 (incl. `use_dedup_dim` at
+    train_transformer.py:269)
+  * `.rq_vae` attribute (train_rqvae.py:199)
+  * `.reset()` / `.precompute_corpus_ids()` (train_rqvae.py:317-320)
+  * `.sem_ids_dim` / `.exists_prefix()` (train_transformer.py:346-348)
+  * `__call__` on a SeqBatch (train_transformer.py:395)
+  * dedup last column read as duplicate-rank (train_rqvae.py:321-323)
+
+TPU design: the whole corpus sweep is one jitted program over the HBM-resident
+item-feature matrix; `exists_prefix` uses the sorted-table binary search from
+hidvae_tpu.ops.prefix_search instead of the O(Q*N*D) equality sweep.
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from hidvae_tpu.data.schemas import SeqBatch, TokenizedSeqBatch
+from hidvae_tpu.ops.prefix_search import (
+    build_prefix_index,
+    duplicate_ranks,
+    exists_prefix,
+)
+
+
+def _flatten_tokenize(cached_ids, ids, seq_mask):
+    """Gather per-item ID tuples and flatten [B, N] item ids -> [B, N*D].
+
+    Mirrors h_semids.py:241-258 + mask-to--1 at :354-356.
+    """
+    n_items = cached_ids.shape[0]
+    d = cached_ids.shape[1]
+    safe = jnp.where((ids >= 0) & (ids < n_items), ids, 0)
+    gathered = jnp.take(cached_ids, safe, axis=0)          # [B, N, D]
+    b, n = ids.shape
+    flat = gathered.reshape(b, n * d)
+    if seq_mask is not None:
+        mask = jnp.repeat(seq_mask, d, axis=1)
+        flat = jnp.where(mask, flat, -1)
+    else:
+        mask = jnp.ones_like(flat, bool)
+    return flat, mask
+
+
+def _token_type_ids(b, n, d):
+    return jnp.tile(jnp.arange(d, dtype=jnp.int32), (b, n))
+
+
+class SemanticIdTokenizer:
+    """Tokenizes item-feature batches into flattened semantic-ID sequences."""
+
+    def __init__(
+        self,
+        model,                      # RqVae module definition
+        variables,                  # frozen model variables
+        *,
+        n_layers: int = 3,
+        codebook_size: int = 256,
+        use_dedup_dim: bool = False,
+        corpus_chunk_size: int = 8192,
+    ):
+        self.rq_vae = model
+        self.variables = variables
+        self.n_layers = n_layers
+        self.codebook_size = codebook_size
+        self.use_dedup_dim = use_dedup_dim
+        self.corpus_chunk_size = corpus_chunk_size
+        self.reset()
+
+        @jax.jit
+        def _encode_ids(variables, x):
+            out = model.apply(
+                variables, x, 0.001, False,
+                method=lambda m, x, t, train: m.get_semantic_ids(x, t, train),
+            )
+            return out.sem_ids
+
+        self._encode_ids = _encode_ids
+
+    def reset(self):
+        self.cached_ids = None
+        self._prefix_index = None
+
+    @property
+    def sem_ids_dim(self):
+        return self.n_layers + 1 if self.use_dedup_dim else self.n_layers
+
+    def _corpus_ids_for(self, item_features):
+        """Run the frozen quantizer over the full corpus, chunked to bound HBM."""
+        n = item_features.shape[0]
+        chunk = min(self.corpus_chunk_size, n)
+        out = []
+        for start in range(0, n, chunk):
+            block = item_features[start : start + chunk]
+            pad = chunk - block.shape[0]
+            if pad > 0:
+                block = jnp.pad(block, ((0, pad), (0, 0)))
+            ids = self._encode_ids(self.variables, block)
+            out.append(ids[: block.shape[0] - pad] if pad > 0 else ids)
+        return jnp.concatenate(out, axis=0)
+
+    def precompute_corpus_ids(self, item_features) -> jax.Array:
+        """Build the [n_items, sem_ids_dim] corpus table (+ dedup rank column)."""
+        sem_ids = self._corpus_ids_for(jnp.asarray(item_features))
+        if self.use_dedup_dim:
+            ranks = duplicate_ranks(sem_ids)
+            sem_ids = jnp.concatenate([sem_ids, ranks[:, None]], axis=-1)
+        self.cached_ids = sem_ids
+        self._prefix_index = build_prefix_index(sem_ids)
+        return self.cached_ids
+
+    def exists_prefix(self, sem_id_prefix) -> jax.Array:
+        if self._prefix_index is None:
+            raise RuntimeError("No match found in empty cache.")
+        return exists_prefix(self._prefix_index, jnp.asarray(sem_id_prefix))
+
+    @property
+    def prefix_index(self):
+        return self._prefix_index
+
+    def __call__(self, batch: SeqBatch) -> TokenizedSeqBatch:
+        if self.cached_ids is None:
+            raise RuntimeError("precompute_corpus_ids must run before tokenizing.")
+        d = self.cached_ids.shape[1]
+        b, n = batch.ids.shape
+        sem_ids, seq_mask = _flatten_tokenize(self.cached_ids, batch.ids, batch.seq_mask)
+        sem_ids_fut, _ = _flatten_tokenize(self.cached_ids, batch.ids_fut, None)
+        return TokenizedSeqBatch(
+            user_ids=batch.user_ids,
+            sem_ids=sem_ids,
+            sem_ids_fut=sem_ids_fut,
+            seq_mask=seq_mask,
+            token_type_ids=_token_type_ids(b, n, d),
+            token_type_ids_fut=_token_type_ids(b, batch.ids_fut.shape[1], d),
+        )

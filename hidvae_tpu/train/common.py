@@ -1,0 +1,249 @@
+"""Shared training infrastructure: train state, optimizers, schedules,
+checkpointing, and diversity metrics.
+
+Parity targets:
+  * AdamW + cosine / step LR schedules (ref train_hidvae.py:634-656) and the
+    warmup inverse-sqrt schedule (ref modules/scheduler/inv_sqrt.py:5-15).
+  * Layer-specific learning rates for tag predictors/projectors
+    (ref train_hidvae.py:532-568): predictor_lr = lr * (1 + 0.1 * i),
+    predictor_wd = wd / (1 + 0.2 * i).
+  * Gradient accumulation (ref train_hidvae.py:699-706) via optax.MultiSteps.
+  * Checkpoints carry {step, params, (batch_stats), opt_state, model_config}
+    like the reference's torch dicts (train_rqvae.py:302-313), stored with
+    Orbax.
+  * Semantic-ID diversity metrics: repetition rate (train_hidvae.py:39-63),
+    RQ entropy / max duplicates / per-level codebook usage
+    (train_rqvae.py:316-343).
+"""
+
+import dataclasses
+import json
+import os
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+    def apply_gradients(self, *, grads, tx, new_batch_stats=None):
+        updates, new_opt_state = tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            batch_stats=(
+                new_batch_stats if new_batch_stats is not None else self.batch_stats
+            ),
+        )
+
+
+def inverse_sqrt_schedule(base_lr: float, warmup_steps: int):
+    """Flat during warmup, then base_lr * sqrt(warmup / step)
+    (ref modules/scheduler/inv_sqrt.py:5-15)."""
+
+    def schedule(step):
+        step = jnp.maximum(step, 1)
+        scale = jnp.where(
+            step <= warmup_steps,
+            1.0,
+            jnp.sqrt(warmup_steps / step.astype(jnp.float32)),
+        )
+        return base_lr * scale
+
+    return schedule
+
+
+def make_lr_schedule(
+    learning_rate: float,
+    use_lr_scheduler: bool = False,
+    lr_scheduler_type: str = "cosine",
+    lr_scheduler_T_max: int = 400_000,
+    lr_scheduler_eta_min: float = 1e-7,
+    lr_scheduler_step_size: int = 100_000,
+    lr_scheduler_gamma: float = 0.5,
+):
+    """Cosine / step schedules matching torch.optim.lr_scheduler semantics
+    (ref train_hidvae.py:634-656)."""
+    if not use_lr_scheduler:
+        return learning_rate
+    if lr_scheduler_type == "cosine":
+        # CosineAnnealingLR: eta_min + (lr - eta_min)(1 + cos(pi t/T))/2
+        def schedule(step):
+            t = jnp.minimum(step, lr_scheduler_T_max).astype(jnp.float32)
+            cos = 0.5 * (1.0 + jnp.cos(jnp.pi * t / lr_scheduler_T_max))
+            return lr_scheduler_eta_min + (learning_rate - lr_scheduler_eta_min) * cos
+
+        return schedule
+    if lr_scheduler_type == "step":
+        def schedule(step):
+            k = (step // lr_scheduler_step_size).astype(jnp.float32)
+            return learning_rate * (lr_scheduler_gamma ** k)
+
+        return schedule
+    return learning_rate
+
+
+def make_optimizer(
+    learning_rate,
+    weight_decay: float,
+    *,
+    gradient_accumulate_every: int = 1,
+    layer_specific_lr: bool = False,
+    predictor_weight_decay: float = 0.02,
+    n_layers: int = 3,
+    params_example=None,
+):
+    """AdamW, optionally with per-layer parameter groups for the tag heads
+    (ref train_hidvae.py:532-575)."""
+    if not layer_specific_lr:
+        tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    else:
+        assert params_example is not None
+
+        def label_fn(params):
+            def top_label(path_key):
+                name = path_key
+                for i in range(n_layers):
+                    if name == f"tag_predictor_{i}" or name == f"tag_projector_{i}":
+                        return f"head_{i}"
+                return "base"
+
+            return {k: jax.tree_util.tree_map(lambda _: top_label(k), v)
+                    for k, v in params.items()}
+
+        transforms = {"base": optax.adamw(learning_rate, weight_decay=weight_decay)}
+        for i in range(n_layers):
+            lr_i = (
+                (lambda s, i=i: learning_rate(s) * (1 + i * 0.1))
+                if callable(learning_rate)
+                else learning_rate * (1 + i * 0.1)
+            )
+            wd_i = predictor_weight_decay / (1 + i * 0.2)
+            transforms[f"head_{i}"] = optax.adamw(lr_i, weight_decay=wd_i)
+        tx = optax.multi_transform(transforms, label_fn)
+
+    if gradient_accumulate_every > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=gradient_accumulate_every)
+    return tx
+
+
+# ---------------- checkpointing ----------------
+
+
+def save_checkpoint(save_dir: str, name: str, payload: dict):
+    """Orbax checkpoint with the reference's logical contents
+    (ref train_rqvae.py:302-313 + quality fields train_hidvae.py:1145-1177)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(save_dir, name))
+    ckptr = ocp.StandardCheckpointer()
+    arrays = {k: v for k, v in payload.items() if k not in ("model_config", "metrics")}
+    ckptr.save(path, arrays, force=True)
+    ckptr.wait_until_finished()
+    meta = {k: payload[k] for k in ("model_config", "metrics") if k in payload}
+    if meta:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+    return path
+
+
+def restore_checkpoint(path: str, example_payload: dict, *, lenient: bool = True):
+    """Restore an Orbax checkpoint into the example structure.
+
+    With `lenient=True` (default) this reproduces the reference's
+    checkpoint-shape self-healing (h_rqvae.py:382-471 + strict=False
+    fallback): entries missing from the checkpoint keep the example's values,
+    extra checkpoint entries are dropped, and shape-mismatched leaves are
+    skipped with a warning — so a stage-2 run can consume a stage-1 checkpoint
+    whose tag heads were rebuilt by the rare-tag remap.
+    """
+    import logging
+
+    import orbax.checkpoint as ocp
+
+    log = logging.getLogger("hidvae_tpu.checkpoint")
+    arrays = {
+        k: v for k, v in example_payload.items()
+        if k not in ("model_config", "metrics")
+    }
+    abspath = os.path.abspath(path)
+    if not lenient:
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(abspath, arrays)
+    else:
+        with ocp.PyTreeCheckpointer() as ckptr:
+            raw = ckptr.restore(abspath)  # structure as saved, no target
+
+        flat_raw = dict(jax.tree_util.tree_flatten_with_path(raw)[0])
+        flat_target, treedef = jax.tree_util.tree_flatten_with_path(arrays)
+        merged = []
+        for key_path, value in flat_target:
+            src = flat_raw.get(key_path)
+            if src is None:
+                log.warning(f"checkpoint missing {jax.tree_util.keystr(key_path)}; "
+                            "keeping initialized value")
+                merged.append(value)
+            elif hasattr(value, "shape") and tuple(src.shape) != tuple(value.shape):
+                log.warning(
+                    f"checkpoint shape mismatch at {jax.tree_util.keystr(key_path)}: "
+                    f"{tuple(src.shape)} vs {tuple(value.shape)}; keeping initialized value"
+                )
+                merged.append(value)
+            else:
+                merged.append(jnp.asarray(src).astype(getattr(value, "dtype", None))
+                              if hasattr(value, "dtype") else src)
+        restored = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(arrays), merged
+        )
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            restored = dict(restored, **json.load(f))
+    return restored
+
+
+# ---------------- diversity metrics ----------------
+
+
+def repetition_rate(corpus_ids: np.ndarray):
+    """1 - unique/total over full ID tuples (ref train_hidvae.py:39-63)."""
+    total = len(corpus_ids)
+    if total == 0:
+        return 0.0, 0, 0
+    unique = len(np.unique(corpus_ids, axis=0))
+    return 1.0 - unique / total, unique, total
+
+
+def id_diversity_metrics(corpus_ids: np.ndarray, codebook_size: int, n_sem_layers: int):
+    """Entropy of the unique-tuple distribution, max duplicates, per-level
+    codebook usage (ref train_rqvae.py:316-343)."""
+    ids = np.asarray(corpus_ids)
+    _, counts = np.unique(ids, axis=0, return_counts=True)
+    probs = counts / counts.sum()
+    entropy = float(-(probs * np.log(probs)).sum())
+    max_dup = int(counts.max())
+    usage = [
+        float(len(np.unique(ids[:, l])) / codebook_size)
+        for l in range(min(n_sem_layers, ids.shape[1]))
+    ]
+    rep, unique, total = repetition_rate(ids)
+    return {
+        "rqvae_entropy": entropy,
+        "max_id_duplicates": max_dup,
+        "codebook_usage": usage,
+        "repetition_rate": rep,
+        "unique_ids": unique,
+        "total_ids": total,
+    }

@@ -1,0 +1,642 @@
+"""Stage-1 trainer for the hierarchically-supervised HiD-VAE tokenizer.
+
+Parity: reference train_hidvae.py `train()` (gin-configurable, ~60 params —
+signature mirrored below so the reference's configs/h_rqvae_*.gin bind
+verbatim). Pipeline: tagged ItemData -> tag-layer reconciliation -> rare-tag
+remap -> HRqVae -> k-means codebook init -> AdamW(+cosine/step schedule,
+optional layer-specific LRs) -> fixed gumbel t=0.2 loop with gradient
+accumulation -> periodic eval (losses + TTA tag accuracy) + corpus ID
+diversity audit -> quality-gated checkpointing (eval tag accuracy > 0.60 AND
+semantic-ID repetition < threshold, ref train_hidvae.py:1145-1177).
+
+TPU design: one jitted train step (value_and_grad over the whole HRqVae loss,
+mutable batch_stats threaded through) over a ('data', 'model') mesh — batches
+sharded over 'data', parameters replicated; XLA inserts the DP gradient
+all-reduce. Host code only feeds numpy batches and logs scalars.
+"""
+
+import json
+import logging
+import os
+import time
+from datetime import datetime
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from hidvae_tpu.data.processed import ItemData, RecDataset
+from hidvae_tpu.models.hrqvae import HRqVae
+from hidvae_tpu.models.quantize import QuantizeForwardMode
+from hidvae_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from hidvae_tpu.tokenizer.h_semids import HSemanticIdTokenizer
+from hidvae_tpu.train.common import (
+    TrainState,
+    id_diversity_metrics,
+    make_lr_schedule,
+    make_optimizer,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from hidvae_tpu.train.init import kmeans_init_codebooks
+from hidvae_tpu.train.tags import (
+    apply_tag_remap,
+    compute_rare_tag_remap,
+    post_remap_class_counts,
+    reconcile_tag_layers,
+)
+
+logger = logging.getLogger("hidvae_tpu.train.hidvae")
+
+
+def _setup_logging(save_dir: str):
+    """File + console logging (ref train_hidvae.py:151-161)."""
+    os.makedirs(save_dir, exist_ok=True)
+    fmt = logging.Formatter("%(asctime)s - %(levelname)s - %(message)s")
+    root = logging.getLogger()
+    file_handler = logging.FileHandler(os.path.join(save_dir, "train.log"))
+    file_handler.setFormatter(fmt)
+    root.addHandler(file_handler)
+    if not any(isinstance(h, logging.StreamHandler)
+               and not isinstance(h, logging.FileHandler) for h in root.handlers):
+        console = logging.StreamHandler()
+        console.setFormatter(fmt)
+        console.addFilter(lambda r: r.name.startswith("hidvae_tpu"))
+        root.addHandler(console)
+    root.setLevel(logging.INFO)
+
+
+def build_model(
+    *,
+    vae_input_dim,
+    vae_embed_dim,
+    vae_hidden_dims,
+    vae_codebook_size,
+    vae_codebook_normalize,
+    vae_sim_vq,
+    vae_codebook_mode,
+    vae_n_layers,
+    vae_n_cat_feats,
+    commitment_weight,
+    tag_alignment_weight,
+    tag_prediction_weight,
+    tag_class_counts,
+    tag_embed_dim,
+    use_focal_loss,
+    focal_loss_gamma_base,
+    focal_loss_alpha_base,
+    dropout_rate,
+    use_batch_norm,
+    alignment_temperature,
+    sem_id_uniqueness_weight,
+    sem_id_uniqueness_margin,
+    use_label_smoothing=True,
+    label_smoothing_alpha=0.1,
+    use_mixup=True,
+    mixup_alpha=0.2,
+) -> HRqVae:
+    return HRqVae(
+        input_dim=vae_input_dim,
+        embed_dim=vae_embed_dim,
+        hidden_dims=tuple(vae_hidden_dims),
+        codebook_size=vae_codebook_size,
+        codebook_normalize=vae_codebook_normalize,
+        codebook_sim_vq=vae_sim_vq,
+        codebook_mode=vae_codebook_mode,
+        n_layers=vae_n_layers,
+        commitment_weight=commitment_weight,
+        n_cat_features=vae_n_cat_feats,
+        tag_alignment_weight=tag_alignment_weight,
+        tag_prediction_weight=tag_prediction_weight,
+        tag_class_counts=tuple(tag_class_counts) if tag_class_counts else None,
+        tag_embed_dim=tag_embed_dim,
+        use_focal_loss=use_focal_loss,
+        focal_gamma_base=focal_loss_gamma_base,
+        focal_alpha_base=focal_loss_alpha_base,
+        dropout_rate=dropout_rate,
+        use_batch_norm=use_batch_norm,
+        alignment_temperature=alignment_temperature,
+        sem_id_uniqueness_weight=sem_id_uniqueness_weight,
+        sem_id_uniqueness_margin=sem_id_uniqueness_margin,
+        use_label_smoothing=use_label_smoothing,
+        label_smoothing_alpha=label_smoothing_alpha,
+        use_mixup=use_mixup,
+        mixup_alpha=mixup_alpha,
+    )
+
+
+def make_train_step(model, tx, class_counts, gumbel_t: float):
+    """Build the jitted DP train step."""
+
+    def train_step(state: TrainState, x, tags_emb, tags_indices, rng):
+        r_gumbel, r_dropout, r_mixup = jax.random.split(rng, 3)
+
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, tags_emb, tags_indices, gumbel_t,
+                train=True,
+                class_counts=class_counts,
+                rngs={"gumbel": r_gumbel, "dropout": r_dropout, "mixup": r_mixup},
+                mutable=["batch_stats"],
+            )
+            return out.loss, (out, updates["batch_stats"])
+
+        (loss, (out, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads=grads, tx=tx, new_batch_stats=new_bs)
+        metrics = {
+            "loss": loss,
+            "reconstruction_loss": out.reconstruction_loss,
+            "rqvae_loss": out.rqvae_loss,
+            "tag_align_loss": out.tag_align_loss,
+            "tag_pred_loss": out.tag_pred_loss,
+            "tag_pred_accuracy": out.tag_pred_accuracy,
+            "p_unique_ids": out.p_unique_ids,
+            "emb_norms": jnp.mean(out.embs_norm, axis=0),
+            "tag_pred_accuracy_by_layer": out.tag_pred_accuracy_by_layer,
+            "sem_id_uniqueness_loss": out.sem_id_uniqueness_loss,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, class_counts, gumbel_t: float):
+    def eval_step(params, batch_stats, x, tags_emb, tags_indices):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, tags_emb, tags_indices, gumbel_t,
+            train=False,
+            class_counts=class_counts,
+        )
+        return {
+            "loss": out.loss,
+            "reconstruction_loss": out.reconstruction_loss,
+            "rqvae_loss": out.rqvae_loss,
+            "tag_align_loss": out.tag_align_loss,
+            "tag_pred_loss": out.tag_pred_loss,
+            "tag_pred_accuracy": out.tag_pred_accuracy,
+            "tag_pred_accuracy_by_layer": out.tag_pred_accuracy_by_layer,
+        }
+
+    return eval_step
+
+
+def make_tta_predict(model, eval_tta: bool, eval_temperature: float, n_aug: int = 5):
+    """TTA tag prediction: averaged temperature-softmax over noise-augmented
+    passes (ref train_hidvae.py:864-1031)."""
+
+    def predict(params, batch_stats, x, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+
+        def one_pass(noise_rng, scale):
+            out = model.apply(
+                variables, x,
+                method=lambda m, x: m.predict_tags(
+                    x, noise_rng=noise_rng, noise_scale=scale
+                ),
+            )
+            return [jax.nn.softmax(l / eval_temperature, axis=-1) for l in out["logits"]]
+
+        probs = one_pass(None, 0.0)
+        if eval_tta:
+            for i in range(n_aug - 1):
+                p = one_pass(jax.random.fold_in(rng, i), 0.01)
+                probs = [a + b for a, b in zip(probs, p)]
+            probs = [p / n_aug for p in probs]
+        return [jnp.argmax(p, axis=-1) for p in probs]
+
+    return predict
+
+
+def train(
+    iterations=50_000,
+    batch_size=64,
+    learning_rate=0.0001,
+    weight_decay=0.01,
+    dataset_folder="dataset/synthetic",
+    dataset=RecDataset.SYNTHETIC,
+    pretrained_hrqvae_path=None,
+    save_dir_root="out/",
+    use_kmeans_init=True,
+    split_batches=True,
+    amp=False,
+    do_eval=True,
+    force_dataset_process=False,
+    mixed_precision_type="bf16",
+    gradient_accumulate_every=1,
+    save_model_every=1_000,
+    eval_every=5_000,
+    commitment_weight=0.25,
+    tag_alignment_weight=0.5,
+    tag_prediction_weight=0.5,
+    vae_n_cat_feats=18,
+    vae_input_dim=768,
+    vae_embed_dim=128,
+    vae_hidden_dims=(512, 256),
+    vae_codebook_size=512,
+    vae_codebook_normalize=False,
+    vae_codebook_mode=QuantizeForwardMode.GUMBEL_SOFTMAX,
+    vae_sim_vq=False,
+    vae_n_layers=3,
+    dataset_split="beauty",
+    tag_class_counts=None,
+    tag_embed_dim=768,
+    use_focal_loss=True,
+    focal_loss_gamma_base=2.0,
+    focal_loss_alpha_base=0.25,
+    rare_tag_threshold=30,
+    dropout_rate=0.3,
+    use_batch_norm=True,
+    alignment_temperature=0.1,
+    predictor_weight_decay=0.02,
+    layer_specific_lr=False,
+    use_label_smoothing=True,
+    label_smoothing_alpha=0.1,
+    use_mixup=True,
+    mixup_alpha=0.2,
+    eval_tta=True,
+    eval_temperature=0.8,
+    ensemble_predictions=True,
+    use_lr_scheduler=True,
+    lr_scheduler_type="cosine",
+    lr_scheduler_T_max=400_000,
+    lr_scheduler_eta_min=1e-7,
+    lr_scheduler_step_size=100_000,
+    lr_scheduler_gamma=0.5,
+    lr_scheduler_factor=0.5,
+    lr_scheduler_patience=10,
+    sem_id_uniqueness_weight=0.5,
+    sem_id_uniqueness_margin=0.5,
+    id_repetition_threshold=0.03,
+    use_concatenated_ids=True,
+    use_interleaved_ids=False,
+    wandb_logging=False,
+    # TPU-native extras (not in the reference surface):
+    seed=42,
+    log_every=100,
+    eval_batches=None,
+    make_plots=True,
+):
+    """Train the HiD-VAE tokenizer. Returns a result dict with the final
+    state, tokenizer, and metric history."""
+    time_stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    save_dir = os.path.join(save_dir_root, f"hrqvae_{dataset.name}_{time_stamp}")
+    _setup_logging(save_dir)
+
+    rng = jax.random.key(seed)
+    np_rng = np.random.RandomState(seed)
+
+    # ---- data ----
+    train_dataset = ItemData(
+        root=dataset_folder, dataset=dataset, force_process=force_dataset_process,
+        train_test_split="train" if do_eval else "all", split=dataset_split,
+    )
+    eval_dataset = (
+        ItemData(root=dataset_folder, dataset=dataset, train_test_split="eval",
+                 split=dataset_split)
+        if do_eval else None
+    )
+    index_dataset = ItemData(
+        root=dataset_folder, dataset=dataset, train_test_split="all",
+        split=dataset_split,
+    )
+
+    has_tags = train_dataset.has_tags
+    if not has_tags:
+        logger.warning("Dataset has no tags; disabling tag supervision.")
+        tag_alignment_weight = 0.0
+        tag_prediction_weight = 0.0
+
+    class_counts = None
+    rare_tags_dict = {}
+    if has_tags:
+        train_dataset.tags_emb, train_dataset.tags_indices = reconcile_tag_layers(
+            train_dataset.tags_emb, train_dataset.tags_indices, vae_n_layers
+        )
+        if eval_dataset is not None:
+            eval_dataset.tags_emb, eval_dataset.tags_indices = reconcile_tag_layers(
+                eval_dataset.tags_emb, eval_dataset.tags_indices, vae_n_layers
+            )
+        if tag_class_counts is None:
+            tag_class_counts = [
+                int(train_dataset.tags_indices[:, i].max()) + 1
+                for i in range(vae_n_layers)
+            ]
+        tag_class_counts = list(tag_class_counts)[:vae_n_layers]
+
+        if use_focal_loss:
+            new_counts, id_mappings, rare_tags_dict = compute_rare_tag_remap(
+                train_dataset.tags_indices, tag_class_counts, rare_tag_threshold
+            )
+            train_dataset.tags_indices = apply_tag_remap(
+                train_dataset.tags_indices, id_mappings
+            )
+            if eval_dataset is not None:
+                eval_dataset.tags_indices = apply_tag_remap(
+                    eval_dataset.tags_indices, id_mappings
+                )
+            tag_class_counts = new_counts
+            logger.info(f"Rare-tag remap -> tag_class_counts={tag_class_counts}")
+            os.makedirs(os.path.join(save_dir_root, "special_tags_files"), exist_ok=True)
+            np.savez(
+                os.path.join(save_dir_root, "special_tags_files", "rare_tags.npz"),
+                **{str(k): v for k, v in rare_tags_dict.items()},
+            )
+            counts_np = post_remap_class_counts(
+                train_dataset.tags_indices, tag_class_counts
+            )
+            class_counts = tuple(jnp.asarray(c) for c in counts_np)
+
+    # ---- model ----
+    model = build_model(
+        vae_input_dim=vae_input_dim,
+        vae_embed_dim=vae_embed_dim,
+        vae_hidden_dims=vae_hidden_dims,
+        vae_codebook_size=vae_codebook_size,
+        vae_codebook_normalize=vae_codebook_normalize,
+        vae_sim_vq=vae_sim_vq,
+        vae_codebook_mode=vae_codebook_mode,
+        vae_n_layers=vae_n_layers,
+        vae_n_cat_feats=vae_n_cat_feats,
+        commitment_weight=commitment_weight,
+        tag_alignment_weight=tag_alignment_weight,
+        tag_prediction_weight=tag_prediction_weight,
+        tag_class_counts=tag_class_counts,
+        tag_embed_dim=tag_embed_dim,
+        use_focal_loss=use_focal_loss,
+        focal_loss_gamma_base=focal_loss_gamma_base,
+        focal_loss_alpha_base=focal_loss_alpha_base,
+        dropout_rate=dropout_rate,
+        use_batch_norm=use_batch_norm,
+        alignment_temperature=alignment_temperature,
+        sem_id_uniqueness_weight=sem_id_uniqueness_weight,
+        sem_id_uniqueness_margin=sem_id_uniqueness_margin,
+        use_label_smoothing=use_label_smoothing,
+        label_smoothing_alpha=label_smoothing_alpha,
+        use_mixup=use_mixup,
+        mixup_alpha=mixup_alpha,
+    )
+
+    # init
+    ex = train_dataset.batch(np.arange(min(8, len(train_dataset))))
+    rng, init_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": init_rng, "gumbel": jax.random.key(1),
+         "dropout": jax.random.key(2), "mixup": jax.random.key(3)},
+        jnp.asarray(ex.x),
+        jnp.asarray(ex.tags_emb) if has_tags else None,
+        jnp.asarray(ex.tags_indices) if has_tags else None,
+        0.2,
+        train=True,
+        class_counts=class_counts,
+    )
+    batch_stats = variables.get("batch_stats", {})
+    params = variables["params"]
+
+    start_iter = 0
+    if pretrained_hrqvae_path is not None:
+        restored = restore_checkpoint(
+            pretrained_hrqvae_path, {"params": params, "batch_stats": batch_stats,
+                                     "step": jnp.zeros((), jnp.int32)},
+        )
+        params = restored["params"]
+        batch_stats = restored["batch_stats"]
+        start_iter = int(restored["step"]) + 1
+        logger.info(f"Restored pretrained HRqVae from {pretrained_hrqvae_path} "
+                    f"(iter {start_iter})")
+    elif use_kmeans_init:
+        n_init = min(20_000, len(train_dataset))
+        init_batch = train_dataset.batch(np.arange(n_init))
+        rng, km_rng = jax.random.split(rng)
+        new_vars = kmeans_init_codebooks(
+            model, {"params": params, "batch_stats": batch_stats},
+            jnp.asarray(init_batch.x), km_rng,
+        )
+        params = new_vars["params"]
+        logger.info("K-means codebook initialization complete")
+
+    # ---- optimizer ----
+    schedule = make_lr_schedule(
+        learning_rate, use_lr_scheduler, lr_scheduler_type,
+        lr_scheduler_T_max, lr_scheduler_eta_min,
+        lr_scheduler_step_size, lr_scheduler_gamma,
+    )
+    tx = make_optimizer(
+        schedule, weight_decay,
+        gradient_accumulate_every=gradient_accumulate_every,
+        layer_specific_lr=layer_specific_lr,
+        predictor_weight_decay=predictor_weight_decay,
+        n_layers=vae_n_layers,
+        params_example=params,
+    )
+    state = TrainState(
+        step=jnp.asarray(start_iter, jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+    # ---- mesh + jit ----
+    mesh = make_mesh()
+    b_shard = batch_sharding(mesh)
+    r_shard = replicated_sharding(mesh)
+    state = jax.device_put(state, r_shard)
+
+    gumbel_t = 0.2  # fixed by the reference trainers (train_hidvae.py:690)
+    train_step = jax.jit(
+        make_train_step(model, tx, class_counts, gumbel_t),
+        donate_argnums=(0,),
+    )
+    eval_step = jax.jit(make_eval_step(model, class_counts, gumbel_t))
+    tta_predict = jax.jit(
+        make_tta_predict(model, eval_tta, eval_temperature)
+    ) if has_tags else None
+
+    n_data = mesh.shape["data"]
+
+    def to_device(arr):
+        if arr is None:
+            return None
+        a = jnp.asarray(arr)
+        # Even sharding over the data axis; replicate if indivisible.
+        return jax.device_put(a, b_shard if a.shape[0] % n_data == 0 else r_shard)
+
+    # Effective per-step batch honors split_batches semantics (global batch).
+    train_iter = train_dataset.iter_batches(batch_size, np_rng)
+
+    history = {k: [] for k in [
+        "iterations", "total_loss", "reconstruction_loss", "rqvae_loss",
+        "tag_align_loss", "tag_pred_loss", "tag_pred_accuracy",
+        "eval_iterations", "eval_total_loss", "eval_tag_pred_accuracy",
+        "rqvae_entropy", "max_id_duplicates", "repetition_rate",
+    ]}
+    history["emb_norms"] = [[] for _ in range(vae_n_layers)]
+    history["codebook_usage"] = [[] for _ in range(vae_n_layers)]
+
+    window = []
+    best_eval_accuracy = 0.0
+    saved_paths = []
+    t_start = time.time()
+    total_steps = iterations * gradient_accumulate_every
+
+    for it in range(start_iter, start_iter + total_steps):
+        batch = next(train_iter)
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = train_step(
+            state,
+            to_device(batch.x),
+            to_device(batch.tags_emb) if has_tags else None,
+            to_device(batch.tags_indices) if has_tags else None,
+            step_rng,
+        )
+
+        if it % log_every == 0 or it == start_iter + total_steps - 1:
+            m = {k: np.asarray(v) for k, v in metrics.items() if v is not None}
+            window.append(float(m["loss"]))
+            window = window[-1000:]
+            history["iterations"].append(it)
+            history["total_loss"].append(float(m["loss"]))
+            history["reconstruction_loss"].append(float(m["reconstruction_loss"]))
+            history["rqvae_loss"].append(float(m["rqvae_loss"]))
+            history["tag_align_loss"].append(float(m["tag_align_loss"]))
+            history["tag_pred_loss"].append(float(m["tag_pred_loss"]))
+            history["tag_pred_accuracy"].append(float(m["tag_pred_accuracy"]))
+            for l in range(vae_n_layers):
+                history["emb_norms"][l].append(float(m["emb_norms"][l]))
+            logger.info(
+                f"iter {it}: loss={m['loss']:.4f} recon={m['reconstruction_loss']:.4f} "
+                f"rq={m['rqvae_loss']:.4f} align={m['tag_align_loss']:.4f} "
+                f"pred={m['tag_pred_loss']:.4f} acc={m['tag_pred_accuracy']:.4f} "
+                f"p_unique={m['p_unique_ids']:.4f} "
+                f"({(it - start_iter + 1) * batch_size / (time.time() - t_start):.0f} items/s)"
+            )
+
+        do_eval_now = do_eval and ((it + 1) % eval_every == 0 or it + 1 == start_iter + total_steps)
+        do_save_now = (it + 1) % save_model_every == 0 or it + 1 == start_iter + total_steps
+
+        if do_eval_now and eval_dataset is not None and len(eval_dataset) > 0:
+            eval_metrics = _run_eval(
+                eval_step, tta_predict, eval_dataset, batch_size, has_tags,
+                eval_batches, rng, state.params, state.batch_stats,
+            )
+            history["eval_iterations"].append(it)
+            history["eval_total_loss"].append(eval_metrics["loss"])
+            history["eval_tag_pred_accuracy"].append(eval_metrics["tag_pred_accuracy"])
+            logger.info(f"eval @ {it}: {eval_metrics}")
+
+            # Corpus ID diversity audit (ref train_hidvae.py:1111-1142).
+            tokenizer = HSemanticIdTokenizer(
+                model, {"params": state.params, "batch_stats": state.batch_stats},
+                n_layers=vae_n_layers, codebook_size=vae_codebook_size,
+                tag_class_counts=tag_class_counts,
+            )
+            corpus_ids = np.asarray(
+                tokenizer.precompute_corpus_ids(index_dataset.item_features)
+            )
+            div = id_diversity_metrics(corpus_ids, vae_codebook_size, vae_n_layers)
+            history["rqvae_entropy"].append(div["rqvae_entropy"])
+            history["max_id_duplicates"].append(div["max_id_duplicates"])
+            history["repetition_rate"].append(div["repetition_rate"])
+            for l in range(vae_n_layers):
+                history["codebook_usage"][l].append(div["codebook_usage"][l])
+            logger.info(f"diversity @ {it}: {div}")
+
+            eval_acc = eval_metrics.get(
+                "tta_accuracy", eval_metrics.get("tag_pred_accuracy", 0.0)
+            )
+            rep = div["repetition_rate"]
+            # Quality-gated checkpoint (ref train_hidvae.py:1145-1177).
+            gate_ok = (not has_tags or eval_acc > 0.60) and rep < id_repetition_threshold
+            if do_save_now or gate_ok:
+                if gate_ok and eval_acc >= best_eval_accuracy:
+                    best_eval_accuracy = eval_acc
+                    name = (
+                        f"hrqvae_ACC{eval_acc:.4f}_"
+                        f"RQLOSS{eval_metrics['rqvae_loss']:.4f}_DUPR{rep:.4f}"
+                    )
+                    path = _save(save_dir, name, state, model, eval_metrics, rep)
+                    saved_paths.append(path)
+                    logger.info(f"Gated checkpoint saved: {path}")
+        if do_save_now:
+            path = _save(save_dir, "latest", state, model, {}, None)
+            saved_paths.append(path)
+
+    if make_plots:
+        try:
+            from hidvae_tpu.train.plots import plot_hidvae_history
+
+            plot_hidvae_history(history, os.path.join(save_dir, "plots"))
+        except Exception as e:  # plotting must never kill a training run
+            logger.warning(f"Plotting failed: {e}")
+
+    return {
+        "state": state,
+        "model": model,
+        "save_dir": save_dir,
+        "history": history,
+        "tag_class_counts": tag_class_counts,
+        "rare_tags": rare_tags_dict,
+        "best_eval_accuracy": best_eval_accuracy,
+        "saved_paths": saved_paths,
+    }
+
+
+def _run_eval(eval_step, tta_predict, eval_dataset, batch_size, has_tags,
+              eval_batches, rng, params, batch_stats):
+    """Eval-loss sweep + TTA tag-accuracy report (ref train_hidvae.py:810-1031)."""
+    sums, n = {}, 0
+    tta_correct = tta_valid = None
+    for bi, batch in enumerate(eval_dataset.iter_eval_batches(batch_size)):
+        if eval_batches is not None and bi >= eval_batches:
+            break
+        x = jnp.asarray(batch.x)
+        te = jnp.asarray(batch.tags_emb) if has_tags else None
+        ti = jnp.asarray(batch.tags_indices) if has_tags else None
+        m = eval_step(params, batch_stats, x, te, ti)
+        for k, v in m.items():
+            if v is None:
+                continue
+            v = np.asarray(v, np.float64)
+            if v.ndim == 0:
+                sums[k] = sums.get(k, 0.0) + float(v) * len(batch.x)
+        n += len(batch.x)
+
+        if tta_predict is not None:
+            preds = tta_predict(params, batch_stats, x, rng)   # list of [B] per layer
+            tgt = np.asarray(batch.tags_indices)               # [B, L]
+            pred_mat = np.stack([np.asarray(p) for p in preds], axis=1)
+            valid = tgt >= 0
+            correct = (pred_mat == tgt) & valid
+            if tta_correct is None:
+                tta_correct = correct.sum(0).astype(np.float64)
+                tta_valid = valid.sum(0).astype(np.float64)
+            else:
+                tta_correct += correct.sum(0)
+                tta_valid += valid.sum(0)
+
+    out = {k: v / max(n, 1) for k, v in sums.items()}
+    if tta_correct is not None:
+        per_layer = tta_correct / np.maximum(tta_valid, 1.0)
+        out["tta_accuracy_by_layer"] = per_layer.tolist()
+        out["tta_accuracy"] = float(per_layer.mean())
+    return out
+
+
+def _save(save_dir, name, state, model, eval_metrics, rep):
+    payload = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "model_config": {
+            k: str(getattr(model, k))
+            for k in ("input_dim", "embed_dim", "codebook_size", "n_layers")
+        },
+        "metrics": {**eval_metrics, "repetition_rate": rep},
+    }
+    return save_checkpoint(save_dir, name, payload)

@@ -1,0 +1,444 @@
+"""Stage-2 trainer: transformer retrieval decoder on frozen-tokenizer IDs.
+
+Parity: reference train_transformer.py `train()` (gin surface mirrored).
+Pipeline: ItemData + SeqData(train subsampled / eval full) -> tokenizer
+(HSemanticIdTokenizer or the plain SemanticIdTokenizer, selected by
+use_h_tokenizer) restored from a stage-1 checkpoint -> precompute_corpus_ids +
+ID repetition audit -> EncoderDecoderRetrievalModel + AdamW +
+inverse-sqrt(warmup 10k) schedule -> train loop (tokenize batch -> CE loss) ->
+partial eval (loss) every partial_eval_every -> full eval every
+full_eval_every: constrained beam generation scored with TopK/NDCG
+accumulators per digit and prefix (ref train_transformer.py:382-383, 802-819).
+
+TPU design: tokenization is a device-side gather against the precomputed
+corpus table inside the same jitted step; generation is the fixed-shape beam
+search of hidvae_tpu.models.retrieval with the sorted-corpus verifier.
+"""
+
+import logging
+import os
+import time
+from datetime import datetime
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hidvae_tpu.data.processed import ItemData, RecDataset, SeqData
+from hidvae_tpu.data.schemas import SeqBatch
+from hidvae_tpu.evaluate.metrics import NDCGAccumulator, TopKAccumulator
+from hidvae_tpu.models.quantize import QuantizeForwardMode
+from hidvae_tpu.models.retrieval import EncoderDecoderRetrievalModel
+from hidvae_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from hidvae_tpu.tokenizer import HSemanticIdTokenizer, SemanticIdTokenizer
+from hidvae_tpu.train.common import (
+    TrainState,
+    id_diversity_metrics,
+    inverse_sqrt_schedule,
+    make_optimizer,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from hidvae_tpu.train.hidvae import build_model as build_hrqvae
+
+logger = logging.getLogger("hidvae_tpu.train.transformer")
+
+
+def _build_tokenizer(
+    *,
+    use_h_tokenizer,
+    pretrained_rqvae_path,
+    vae_input_dim,
+    vae_embed_dim,
+    vae_hidden_dims,
+    vae_codebook_size,
+    vae_n_layers,
+    vae_n_cat_feats,
+    vae_codebook_normalize,
+    vae_sim_vq,
+    tag_alignment_weight,
+    tag_prediction_weight,
+    tag_class_counts,
+    tag_embed_dim,
+    use_dedup_dim,
+    use_concatenated_ids,
+    use_interleaved_ids,
+    commitment_weight,
+    rng,
+):
+    """Instantiate the frozen stage-1 model + tokenizer service
+    (ref train_transformer.py:222-270)."""
+    if use_h_tokenizer:
+        model = build_hrqvae(
+            vae_input_dim=vae_input_dim,
+            vae_embed_dim=vae_embed_dim,
+            vae_hidden_dims=vae_hidden_dims,
+            vae_codebook_size=vae_codebook_size,
+            vae_codebook_normalize=vae_codebook_normalize,
+            vae_sim_vq=vae_sim_vq,
+            vae_codebook_mode=QuantizeForwardMode.GUMBEL_SOFTMAX,
+            vae_n_layers=vae_n_layers,
+            vae_n_cat_feats=vae_n_cat_feats,
+            commitment_weight=commitment_weight,
+            tag_alignment_weight=tag_alignment_weight,
+            tag_prediction_weight=tag_prediction_weight,
+            tag_class_counts=tag_class_counts,
+            tag_embed_dim=tag_embed_dim,
+            use_focal_loss=False,
+            focal_loss_gamma_base=2.0,
+            focal_loss_alpha_base=0.25,
+            dropout_rate=0.2,
+            use_batch_norm=True,
+            alignment_temperature=0.1,
+            sem_id_uniqueness_weight=0.5,
+            sem_id_uniqueness_margin=0.5,
+        )
+        x = jnp.zeros((2, vae_input_dim))
+        te = jnp.zeros((2, vae_n_layers, tag_embed_dim))
+        ti = jnp.zeros((2, vae_n_layers), jnp.int32)
+        variables = model.init(
+            {"params": rng, "gumbel": jax.random.key(1),
+             "dropout": jax.random.key(2), "mixup": jax.random.key(3)},
+            x, te, ti, 0.2, train=False,
+        )
+        variables = dict(variables)
+        if pretrained_rqvae_path is not None:
+            restored = restore_checkpoint(
+                pretrained_rqvae_path,
+                {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {}),
+                 "step": jnp.zeros((), jnp.int32)},
+            )
+            variables["params"] = restored["params"]
+            variables["batch_stats"] = restored["batch_stats"]
+        return HSemanticIdTokenizer(
+            model, variables,
+            n_layers=vae_n_layers, codebook_size=vae_codebook_size,
+            tag_class_counts=tag_class_counts,
+            use_dedup_dim=use_dedup_dim,
+            use_concatenated_ids=use_concatenated_ids,
+            use_interleaved_ids=use_interleaved_ids,
+        )
+    # Plain RQ-VAE tokenizer (the reference's missing semids.py path).
+    from hidvae_tpu.models.rqvae import RqVae
+
+    model = RqVae(
+        input_dim=vae_input_dim,
+        embed_dim=vae_embed_dim,
+        hidden_dims=tuple(vae_hidden_dims),
+        codebook_size=vae_codebook_size,
+        codebook_normalize=vae_codebook_normalize,
+        codebook_sim_vq=vae_sim_vq,
+        n_layers=vae_n_layers,
+        commitment_weight=commitment_weight,
+        n_cat_features=vae_n_cat_feats,
+    )
+    x = jnp.zeros((2, vae_input_dim))
+    variables = model.init({"params": rng, "gumbel": jax.random.key(1)}, x, 0.2, False)
+    variables = dict(variables)
+    if pretrained_rqvae_path is not None:
+        restored = restore_checkpoint(
+            pretrained_rqvae_path,
+            {"params": variables["params"], "step": jnp.zeros((), jnp.int32)},
+        )
+        variables["params"] = restored["params"]
+    return SemanticIdTokenizer(
+        model, variables,
+        n_layers=vae_n_layers, codebook_size=vae_codebook_size,
+        use_dedup_dim=use_dedup_dim,
+    )
+
+
+def train(
+    iterations=200_000,
+    batch_size=64,
+    learning_rate=0.0003,
+    weight_decay=0.035,
+    max_grad_norm=1.0,
+    dataset_folder="dataset/synthetic",
+    dataset=RecDataset.SYNTHETIC,
+    pretrained_rqvae_path=None,
+    pretrained_decoder_path=None,
+    save_dir_root="out/decoder/",
+    split_batches=True,
+    amp=False,
+    force_dataset_process=False,
+    mixed_precision_type="bf16",
+    save_model_every=1_000_000,
+    partial_eval_every=5_000,
+    full_eval_every=10_000,
+    vae_input_dim=768,
+    vae_embed_dim=32,
+    vae_hidden_dims=(512, 256, 128),
+    vae_codebook_size=256,
+    vae_codebook_normalize=False,
+    vae_sim_vq=False,
+    vae_n_cat_feats=18,
+    vae_n_layers=3,
+    decoder_embed_dim=128,
+    dropout_p=0.3,
+    attn_dropout=None,  # alias used by decoder_ml32m.gin
+    attn_heads=8,
+    attn_embed_dim=512,
+    attn_layers=8,
+    dataset_split="beauty",
+    use_h_tokenizer=True,
+    tag_alignment_weight=0.5,
+    tag_prediction_weight=0.5,
+    tag_class_counts=None,
+    tag_embed_dim=768,
+    use_dedup_dim=False,
+    use_concatenated_ids=False,
+    use_interleaved_ids=False,
+    commitment_weight=0.25,
+    model_jagged_mode=True,  # accepted for config parity; dense path on TPU
+    wandb_logging=False,
+    # TPU-native extras:
+    seed=42,
+    log_every=100,
+    eval_batches=None,
+    generation_temperature=1.0,
+    warmup_steps=10_000,
+    make_plots=True,
+):
+    if attn_dropout is not None:
+        dropout_p = attn_dropout
+    time_stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    save_dir = os.path.join(save_dir_root, f"decoder_{dataset.name}_{time_stamp}")
+    from hidvae_tpu.train.hidvae import _setup_logging
+
+    _setup_logging(save_dir)
+
+    rng = jax.random.key(seed)
+    np_rng = np.random.RandomState(seed)
+
+    # ---- data ----
+    item_dataset = ItemData(
+        root=dataset_folder, dataset=dataset, force_process=force_dataset_process,
+        train_test_split="all", split=dataset_split,
+    )
+    train_seq = SeqData(
+        root=dataset_folder, dataset=dataset, is_train=True, subsample=True,
+        split=dataset_split,
+    )
+    eval_seq = SeqData(
+        root=dataset_folder, dataset=dataset, is_train=False, subsample=False,
+        split=dataset_split,
+    )
+
+    # ---- tokenizer (frozen stage 1) ----
+    rng, tok_rng = jax.random.split(rng)
+    tokenizer = _build_tokenizer(
+        use_h_tokenizer=use_h_tokenizer,
+        pretrained_rqvae_path=pretrained_rqvae_path,
+        vae_input_dim=vae_input_dim,
+        vae_embed_dim=vae_embed_dim,
+        vae_hidden_dims=vae_hidden_dims,
+        vae_codebook_size=vae_codebook_size,
+        vae_n_layers=vae_n_layers,
+        vae_n_cat_feats=vae_n_cat_feats,
+        vae_codebook_normalize=vae_codebook_normalize,
+        vae_sim_vq=vae_sim_vq,
+        tag_alignment_weight=tag_alignment_weight,
+        tag_prediction_weight=tag_prediction_weight,
+        tag_class_counts=tag_class_counts,
+        tag_embed_dim=tag_embed_dim,
+        use_dedup_dim=use_dedup_dim,
+        use_concatenated_ids=use_concatenated_ids,
+        use_interleaved_ids=use_interleaved_ids,
+        commitment_weight=commitment_weight,
+        rng=tok_rng,
+    )
+    corpus_ids = tokenizer.precompute_corpus_ids(item_dataset.item_features)
+    sem_id_dim = tokenizer.sem_ids_dim
+    logger.info(f"Corpus table: {corpus_ids.shape}, sem_ids_dim={sem_id_dim}")
+
+    # ID repetition audit incl. semantic-only slice (ref train_transformer.py:277-328).
+    div = id_diversity_metrics(np.asarray(corpus_ids), vae_codebook_size, vae_n_layers)
+    logger.info(f"Corpus ID diversity: {div}")
+    if sem_id_dim > vae_n_layers:
+        sem_only = id_diversity_metrics(
+            np.asarray(corpus_ids)[:, :vae_n_layers], vae_codebook_size, vae_n_layers
+        )
+        logger.info(f"Semantic-only slice diversity: {sem_only}")
+
+    # ---- model ----
+    max_seq_len = train_seq.max_seq_len
+    model = EncoderDecoderRetrievalModel(
+        embedding_dim=decoder_embed_dim,
+        attn_dim=attn_embed_dim,
+        dropout=dropout_p,
+        num_heads=attn_heads,
+        n_layers=attn_layers,
+        num_embeddings=vae_codebook_size,
+        sem_id_dim=sem_id_dim,
+        max_pos=max_seq_len * sem_id_dim,   # ref train_transformer.py:348
+        n_sem_layers=vae_n_layers,
+        use_interleaved_ids=use_interleaved_ids,
+    )
+
+    example = tokenizer(_to_jax_seqbatch(train_seq.batch(np.arange(2), np_rng)))
+    rng, init_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": init_rng, "dropout": jax.random.key(1)}, example, False
+    )
+    params = variables["params"]
+
+    schedule = inverse_sqrt_schedule(learning_rate, warmup_steps)
+    tx = make_optimizer(schedule, weight_decay)
+    start_iter = 0
+    if pretrained_decoder_path is not None:
+        restored = restore_checkpoint(
+            pretrained_decoder_path,
+            {"params": params, "step": jnp.zeros((), jnp.int32)},
+        )
+        params = restored["params"]
+        start_iter = int(restored["step"]) + 1
+        logger.info(f"Restored decoder from {pretrained_decoder_path}")
+
+    state = TrainState(
+        step=jnp.asarray(start_iter, jnp.int32),
+        params=params,
+        batch_stats={},
+        opt_state=tx.init(params),
+    )
+
+    mesh = make_mesh()
+    b_shard, r_shard = batch_sharding(mesh), replicated_sharding(mesh)
+    n_data = mesh.shape["data"]
+    state = jax.device_put(state, r_shard)
+
+    @jax.jit
+    def train_step(state, batch, rng):
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p}, batch, True, rngs={"dropout": rng}
+            )
+            return out.loss, out.loss_d
+
+        (loss, loss_d), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads, tx=tx)
+        return new_state, {"loss": loss, "loss_d": loss_d}
+
+    @jax.jit
+    def eval_loss_step(params, batch):
+        out = model.apply({"params": params}, batch, False)
+        return {"loss": out.loss, "loss_d": out.loss_d}
+
+    generate = jax.jit(
+        lambda params, batch, index: model.apply(
+            {"params": params}, batch, index,
+            temperature=generation_temperature,
+            method=EncoderDecoderRetrievalModel.generate_next_sem_id,
+        )
+    )
+
+    def to_device(batch):
+        def put(x):
+            if x is None:
+                return None
+            a = jnp.asarray(x)
+            return jax.device_put(
+                a, b_shard if a.shape[0] % n_data == 0 else r_shard
+            )
+
+        return jax.tree_util.tree_map(put, batch)
+
+    train_iter = train_seq.iter_batches(batch_size, np_rng)
+    history = {"iterations": [], "train_loss": [], "eval_iterations": [],
+               "eval_loss": [], "full_eval_iterations": [], "full_eval_metrics": []}
+    saved = []
+    t_start = time.time()
+
+    for it in range(start_iter, start_iter + iterations):
+        raw = next(train_iter)
+        tokenized = tokenizer(_to_jax_seqbatch(raw))
+        rng, step_rng = jax.random.split(rng)
+        state, m = train_step(state, to_device(tokenized), step_rng)
+
+        if it % log_every == 0 or it == start_iter + iterations - 1:
+            loss = float(np.asarray(m["loss"]))
+            history["iterations"].append(it)
+            history["train_loss"].append(loss)
+            logger.info(
+                f"iter {it}: loss={loss:.4f} "
+                f"loss_d={np.asarray(m['loss_d']).round(3).tolist()} "
+                f"({(it - start_iter + 1) * batch_size / (time.time() - t_start):.0f} seqs/s)"
+            )
+
+        if (it + 1) % partial_eval_every == 0 or it + 1 == start_iter + iterations:
+            sums, n = 0.0, 0
+            for bi, eb in enumerate(eval_seq.iter_eval_batches(batch_size)):
+                if eval_batches is not None and bi >= eval_batches:
+                    break
+                tok = tokenizer(_to_jax_seqbatch(eb))
+                em = eval_loss_step(state.params, to_device(tok))
+                sums += float(np.asarray(em["loss"])) * len(eb.user_ids)
+                n += len(eb.user_ids)
+            history["eval_iterations"].append(it)
+            history["eval_loss"].append(sums / max(n, 1))
+            logger.info(f"partial eval @ {it}: loss={sums / max(n, 1):.4f}")
+
+        if (it + 1) % full_eval_every == 0 or it + 1 == start_iter + iterations:
+            metrics = full_eval(
+                generate, state.params, tokenizer, eval_seq, batch_size,
+                eval_batches=eval_batches,
+            )
+            history["full_eval_iterations"].append(it)
+            history["full_eval_metrics"].append(metrics)
+            logger.info(f"full eval @ {it}: " + ", ".join(
+                f"{k}={v:.4f}" for k, v in sorted(metrics.items())
+                if "slice" in k or "pos" in k
+            ))
+
+        if (it + 1) % save_model_every == 0 or it + 1 == start_iter + iterations:
+            payload = {
+                "step": state.step,
+                "params": state.params,
+                "opt_state_step": jnp.asarray(0),
+                "model_config": {"attn_dim": attn_embed_dim, "sem_id_dim": sem_id_dim},
+                "metrics": {},
+            }
+            saved.append(save_checkpoint(save_dir, f"checkpoint_{it}", payload))
+
+    if make_plots:
+        try:
+            from hidvae_tpu.train.plots import plot_transformer_history
+
+            plot_transformer_history(history, os.path.join(save_dir, "plots"))
+        except Exception as e:
+            logger.warning(f"Plotting failed: {e}")
+
+    return {
+        "state": state,
+        "model": model,
+        "tokenizer": tokenizer,
+        "save_dir": save_dir,
+        "history": history,
+        "saved_paths": saved,
+    }
+
+
+def _to_jax_seqbatch(batch: SeqBatch) -> SeqBatch:
+    return jax.tree_util.tree_map(jnp.asarray, batch)
+
+
+def full_eval(generate, params, tokenizer, eval_seq, batch_size, eval_batches=None):
+    """Constrained-generation eval: beam search -> TopK/NDCG per digit/prefix
+    (ref train_transformer.py:467-617, 802-819)."""
+    topk = TopKAccumulator(ks=[1, 5, 10])
+    ndcg = NDCGAccumulator(ks=[1, 5, 10])
+    index = tokenizer.prefix_index if hasattr(tokenizer, "prefix_index") else None
+    if index is None:
+        index = tokenizer._prefix_index
+    for bi, eb in enumerate(eval_seq.iter_eval_batches(batch_size)):
+        if eval_batches is not None and bi >= eval_batches:
+            break
+        tok = tokenizer(_to_jax_seqbatch(eb))
+        gen = generate(params, tok, index)
+        actual = np.asarray(tok.sem_ids_fut)
+        top_k_ids = np.asarray(gen.sem_ids)
+        topk.accumulate(actual, top_k_ids)
+        ndcg.accumulate(actual, top_k_ids)
+    return {**topk.reduce(), **ndcg.reduce()}

@@ -1,0 +1,204 @@
+"""Forward/backward tests for RqVae and HRqVae."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hidvae_tpu.models.hrqvae import HRqVae
+from hidvae_tpu.models.quantize import QuantizeForwardMode
+from hidvae_tpu.models.rqvae import RqVae, p_unique_ids_stat
+
+B, F, D, K, L = 16, 64, 8, 32, 3
+TAG_COUNTS = (4, 8, 12)
+
+
+def make_rqvae(**kw):
+    cfg = dict(
+        input_dim=F, embed_dim=D, hidden_dims=(32, 16), codebook_size=K,
+        n_layers=L, n_cat_features=0,
+        codebook_mode=QuantizeForwardMode.ROTATION_TRICK,
+    )
+    cfg.update(kw)
+    return RqVae(**cfg)
+
+
+def make_hrqvae(**kw):
+    cfg = dict(
+        input_dim=F, embed_dim=D, hidden_dims=(32, 16), codebook_size=K,
+        n_layers=L, n_cat_features=0, tag_class_counts=TAG_COUNTS,
+        tag_embed_dim=24, codebook_mode=QuantizeForwardMode.ROTATION_TRICK,
+        use_focal_loss=True,
+    )
+    cfg.update(kw)
+    return HRqVae(**cfg)
+
+
+def rngs():
+    return {
+        "params": jax.random.key(0),
+        "gumbel": jax.random.key(1),
+        "dropout": jax.random.key(2),
+        "mixup": jax.random.key(3),
+    }
+
+
+class TestPUnique:
+    def test_all_unique(self):
+        ids = jnp.array([[0, 1], [1, 2], [2, 3]])
+        assert float(p_unique_ids_stat(ids)) == 1.0
+
+    def test_all_same(self):
+        ids = jnp.zeros((4, 3), jnp.int32)
+        np.testing.assert_allclose(float(p_unique_ids_stat(ids)), 0.25)
+
+    def test_mixed(self):
+        ids = jnp.array([[0, 0], [0, 0], [1, 1], [2, 2]])
+        np.testing.assert_allclose(float(p_unique_ids_stat(ids)), 0.75)
+
+
+class TestRqVae:
+    def test_forward_shapes_and_finiteness(self):
+        model = make_rqvae()
+        x = jax.random.normal(jax.random.key(5), (B, F))
+        variables = model.init(rngs(), x, 0.2, train=False)
+        out = model.apply(variables, x, 0.2, train=False)
+        assert out.embs_norm.shape == (B, L)
+        assert np.isfinite(float(out.loss))
+        assert 0.0 <= float(out.p_unique_ids) <= 1.0
+
+    def test_semantic_ids_deterministic_eval(self):
+        model = make_rqvae()
+        x = jax.random.normal(jax.random.key(5), (B, F))
+        variables = model.init(rngs(), x, 0.2, train=False)
+        o1 = model.apply(variables, x, 0.001, train=False,
+                         method=lambda m, x, t, train: m.get_semantic_ids(x, t, train))
+        o2 = model.apply(variables, x, 0.001, train=False,
+                         method=lambda m, x, t, train: m.get_semantic_ids(x, t, train))
+        np.testing.assert_array_equal(np.asarray(o1.sem_ids), np.asarray(o2.sem_ids))
+        assert o1.sem_ids.shape == (B, L)
+        assert o1.embeddings.shape == (B, L, D)
+
+    @pytest.mark.parametrize("mode", list(QuantizeForwardMode))
+    def test_gradients_flow_each_mode(self, mode):
+        model = make_rqvae(codebook_mode=mode)
+        x = jax.random.normal(jax.random.key(5), (B, F))
+        variables = model.init(rngs(), x, 0.2, train=True)
+
+        def loss_fn(params):
+            out = model.apply({"params": params}, x, 0.2, train=True,
+                              rngs={"gumbel": jax.random.key(7)})
+            return out.loss
+
+        g = jax.grad(loss_fn)(variables["params"])
+        enc_g = jax.tree_util.tree_reduce(
+            lambda a, b: a + float(jnp.sum(jnp.abs(b))), g["encoder"], 0.0
+        )
+        cb_g = float(jnp.sum(jnp.abs(g["quantize_0"]["embedding"])))
+        assert enc_g > 0
+        assert cb_g > 0
+
+    def test_cat_features_path(self):
+        model = make_rqvae(n_cat_features=6)
+        x = jax.random.normal(jax.random.key(5), (B, F))
+        variables = model.init(rngs(), x, 0.2, train=False)
+        out = model.apply(variables, x, 0.2, train=False)
+        assert np.isfinite(float(out.loss))
+
+    def test_residual_structure(self):
+        """residual[i+1] = residual[i] - emb[i] by construction."""
+        model = make_rqvae()
+        x = jax.random.normal(jax.random.key(5), (B, F))
+        variables = model.init(rngs(), x, 0.2, train=False)
+        out = model.apply(variables, x, 0.001, train=False,
+                          method=lambda m, x, t, train: m.get_semantic_ids(x, t, train))
+        res = np.asarray(out.residuals)
+        emb = np.asarray(out.embeddings)
+        np.testing.assert_allclose(res[:, 1], res[:, 0] - emb[:, 0], atol=1e-5)
+        np.testing.assert_allclose(res[:, 2], res[:, 1] - emb[:, 1], atol=1e-5)
+
+
+class TestHRqVae:
+    def _init(self, model, x, tags_emb, tags_idx, train):
+        return model.init(rngs(), x, tags_emb, tags_idx, 0.2, train=train)
+
+    def test_forward_with_tags(self):
+        model = make_hrqvae()
+        x = jax.random.normal(jax.random.key(5), (B, F))
+        tags_emb = jax.random.normal(jax.random.key(6), (B, L, 24))
+        tags_idx = jnp.stack(
+            [jax.random.randint(jax.random.key(i), (B,), 0, c) for i, c in enumerate(TAG_COUNTS)],
+            axis=-1,
+        )
+        variables = self._init(model, x, tags_emb, tags_idx, train=False)
+        out = model.apply(variables, x, tags_emb, tags_idx, 0.2, train=False)
+        for name in ["loss", "reconstruction_loss", "rqvae_loss", "tag_align_loss",
+                     "tag_pred_loss", "sem_id_uniqueness_loss"]:
+            assert np.isfinite(float(getattr(out, name))), name
+        assert 0.0 <= float(out.tag_pred_accuracy) <= 1.0
+        assert out.tag_pred_loss_by_layer.shape == (L,)
+
+    def test_forward_without_tags(self):
+        model = make_hrqvae()
+        x = jax.random.normal(jax.random.key(5), (B, F))
+        tags_emb = jax.random.normal(jax.random.key(6), (B, L, 24))
+        tags_idx = jnp.zeros((B, L), jnp.int32)
+        variables = self._init(model, x, tags_emb, tags_idx, train=False)
+        out = model.apply(variables, x, None, None, 0.2, train=False)
+        assert float(out.tag_align_loss) == 0.0
+        assert float(out.tag_pred_loss) == 0.0
+
+    def test_train_step_with_batch_stats(self):
+        model = make_hrqvae()
+        x = jax.random.normal(jax.random.key(5), (B, F))
+        tags_emb = jax.random.normal(jax.random.key(6), (B, L, 24))
+        tags_idx = jnp.zeros((B, L), jnp.int32)
+        variables = self._init(model, x, tags_emb, tags_idx, train=True)
+        assert "batch_stats" in variables
+
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, tags_emb, tags_idx, 0.2, train=True,
+                rngs={"gumbel": jax.random.key(1), "dropout": jax.random.key(2),
+                      "mixup": jax.random.key(3)},
+                mutable=["batch_stats"],
+            )
+            return out.loss
+
+        g = jax.grad(loss_fn)(variables["params"])
+        proj_g = jax.tree_util.tree_reduce(
+            lambda a, b: a + float(jnp.sum(jnp.abs(b))), g["tag_projector_0"], 0.0
+        )
+        pred_g = jax.tree_util.tree_reduce(
+            lambda a, b: a + float(jnp.sum(jnp.abs(b))), g["tag_predictor_0"], 0.0
+        )
+        assert proj_g > 0 and pred_g > 0
+
+    def test_predict_tags_shapes(self):
+        model = make_hrqvae()
+        x = jax.random.normal(jax.random.key(5), (B, F))
+        tags_emb = jax.random.normal(jax.random.key(6), (B, L, 24))
+        tags_idx = jnp.zeros((B, L), jnp.int32)
+        variables = self._init(model, x, tags_emb, tags_idx, train=False)
+        out = model.apply(variables, x, method=lambda m, x: m.predict_tags(x))
+        assert out["predictions"].shape == (B, L)
+        assert out["confidences"].shape == (B, L)
+        # Sequence input
+        xs = jax.random.normal(jax.random.key(7), (4, 5, F))
+        out_seq = model.apply(variables, xs, method=lambda m, x: m.predict_tags(x))
+        assert out_seq["predictions"].shape == (4, 5, L)
+        conf = np.asarray(out_seq["confidences"])
+        assert np.all(conf >= 0) and np.all(conf <= 1)
+
+    def test_uniqueness_weight_double_applied(self):
+        """Parity check: total includes w_u^2 * raw_penalty (see module docstring)."""
+        model = make_hrqvae(sem_id_uniqueness_weight=2.0, tag_alignment_weight=0.0,
+                            tag_prediction_weight=0.0)
+        x = jnp.ones((4, F)) * 0.1  # identical rows -> guaranteed ID collisions
+        variables = model.init(rngs(), x, None, None, 0.2, train=False)
+        out = model.apply(variables, x, None, None, 0.2, train=False)
+        # loss - recon - rq should equal w_u * uniq_loss where uniq_loss already
+        # contains one factor of w_u.
+        residual = float(out.loss) - float(out.reconstruction_loss) - float(out.rqvae_loss)
+        np.testing.assert_allclose(residual, 2.0 * float(out.sem_id_uniqueness_loss), rtol=1e-5)

@@ -1,0 +1,197 @@
+"""End-to-end smoke tests: all three trainers run on a tiny synthetic corpus,
+losses stay finite, checkpoints round-trip, and the gin config surface parses."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from hidvae_tpu.data.processed import (
+    ItemData,
+    ProcessedArrays,
+    RecDataset,
+    SeqData,
+    processed_path,
+)
+from hidvae_tpu.data.synthetic import build_synthetic
+
+TINY = dict(
+    n_items=200, n_users=40, feature_dim=32, tag_dim=16,
+    max_seq_len=8, min_seq_len=4, level_branching=(4, 2, 2),
+)
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth"))
+    arrays = build_synthetic(**TINY)
+    arrays.save(processed_path(root, RecDataset.SYNTHETIC))
+    return root
+
+
+class TestData:
+    def test_item_data_splits(self, dataset_root):
+        all_items = ItemData(dataset_root, RecDataset.SYNTHETIC, train_test_split="all")
+        train = ItemData(dataset_root, RecDataset.SYNTHETIC, train_test_split="train")
+        evald = ItemData(dataset_root, RecDataset.SYNTHETIC, train_test_split="eval")
+        assert len(train) + len(evald) == len(all_items) == TINY["n_items"]
+        assert all_items.has_tags
+        assert all_items.tags_indices.shape == (TINY["n_items"], 3)
+
+    def test_seq_data_batches(self, dataset_root):
+        seq = SeqData(dataset_root, RecDataset.SYNTHETIC, is_train=True, subsample=True)
+        rng = np.random.RandomState(0)
+        batch = seq.batch(np.arange(8), rng)
+        assert batch.ids.shape == (8, TINY["max_seq_len"])
+        assert batch.x.shape == (8, TINY["max_seq_len"], TINY["feature_dim"])
+        # Padded rows are -1 features.
+        padded = np.asarray(batch.x)[~np.asarray(batch.seq_mask)]
+        if len(padded):
+            assert (padded == -1.0).all()
+        assert batch.ids_fut.shape == (8, 1)
+        assert (np.asarray(batch.ids_fut) >= 0).all()
+
+    def test_subsample_changes_targets(self, dataset_root):
+        seq = SeqData(dataset_root, RecDataset.SYNTHETIC, is_train=True, subsample=True)
+        base = seq.batch(np.arange(16), None)
+        sub = seq.batch(np.arange(16), np.random.RandomState(1))
+        assert (np.asarray(base.ids_fut) != np.asarray(sub.ids_fut)).any()
+
+
+class TestHidvaeTrainer:
+    def test_short_run(self, dataset_root, tmp_path):
+        from hidvae_tpu.train.hidvae import train
+
+        result = train(
+            iterations=4,
+            batch_size=16,
+            learning_rate=1e-3,
+            dataset_folder=dataset_root,
+            dataset=RecDataset.SYNTHETIC,
+            save_dir_root=str(tmp_path / "out"),
+            eval_every=4,
+            save_model_every=4,
+            vae_input_dim=TINY["feature_dim"],
+            vae_n_cat_feats=0,
+            vae_hidden_dims=(32, 16),
+            vae_embed_dim=8,
+            vae_codebook_size=32,
+            vae_n_layers=3,
+            tag_embed_dim=TINY["tag_dim"],
+            rare_tag_threshold=3,
+            use_focal_loss=True,
+            layer_specific_lr=True,
+            gradient_accumulate_every=1,
+            eval_batches=2,
+            log_every=1,
+            make_plots=True,
+            id_repetition_threshold=1.0,
+        )
+        hist = result["history"]
+        assert len(hist["total_loss"]) >= 2
+        assert np.isfinite(hist["total_loss"]).all()
+        assert result["saved_paths"], "expected at least one checkpoint"
+        assert len(result["tag_class_counts"]) == 3
+        # Plots got written.
+        assert glob.glob(os.path.join(result["save_dir"], "plots", "*.png"))
+
+    def test_checkpoint_roundtrip(self, dataset_root, tmp_path):
+        from hidvae_tpu.train.common import restore_checkpoint
+        from hidvae_tpu.train.hidvae import train
+        import jax.numpy as jnp
+
+        result = train(
+            iterations=2, batch_size=16, dataset_folder=dataset_root,
+            dataset=RecDataset.SYNTHETIC, save_dir_root=str(tmp_path / "out"),
+            eval_every=2, save_model_every=2, vae_input_dim=TINY["feature_dim"],
+            vae_n_cat_feats=0, vae_hidden_dims=(32, 16), vae_embed_dim=8,
+            vae_codebook_size=32, tag_embed_dim=TINY["tag_dim"],
+            rare_tag_threshold=3, eval_batches=1, make_plots=False,
+            do_eval=False,
+        )
+        path = result["saved_paths"][-1]
+        state = result["state"]
+        restored = restore_checkpoint(
+            path,
+            {"params": state.params, "batch_stats": state.batch_stats,
+             "step": jnp.zeros((), jnp.int32)},
+        )
+        a = np.asarray(state.params["encoder"]["dense_0"]["kernel"])
+        b = np.asarray(restored["params"]["encoder"]["dense_0"]["kernel"])
+        np.testing.assert_array_equal(a, b)
+
+
+class TestRqvaeTrainer:
+    def test_short_run(self, dataset_root, tmp_path):
+        from hidvae_tpu.train.rqvae import train
+
+        result = train(
+            iterations=4, batch_size=16, learning_rate=1e-3,
+            dataset_folder=dataset_root, dataset=RecDataset.SYNTHETIC,
+            save_dir_root=str(tmp_path / "out"),
+            eval_every=4, save_model_every=4,
+            vae_input_dim=TINY["feature_dim"], vae_n_cat_feats=0,
+            vae_hidden_dims=(32, 16), vae_embed_dim=8, vae_codebook_size=32,
+            use_dedup_dim=True, eval_batches=2, log_every=1, make_plots=False,
+        )
+        hist = result["history"]
+        assert np.isfinite(hist["total_loss"]).all()
+        assert hist["repetition_rate"], "diversity audit should have run"
+
+
+class TestTransformerTrainer:
+    def test_short_run(self, dataset_root, tmp_path):
+        from hidvae_tpu.train.transformer import train
+
+        result = train(
+            iterations=3, batch_size=8, dataset_folder=dataset_root,
+            dataset=RecDataset.SYNTHETIC, save_dir_root=str(tmp_path / "out"),
+            partial_eval_every=3, full_eval_every=3, save_model_every=3,
+            vae_input_dim=TINY["feature_dim"], vae_n_cat_feats=0,
+            vae_hidden_dims=(32, 16), vae_embed_dim=8, vae_codebook_size=32,
+            vae_n_layers=3, use_h_tokenizer=True, tag_embed_dim=TINY["tag_dim"],
+            tag_class_counts=[4, 8, 16],
+            decoder_embed_dim=16, attn_embed_dim=32, attn_heads=2, attn_layers=2,
+            eval_batches=1, log_every=1, make_plots=False,
+        )
+        hist = result["history"]
+        assert np.isfinite(hist["train_loss"]).all()
+        assert hist["eval_loss"], "partial eval should have run"
+        full = hist["full_eval_metrics"][-1]
+        assert "h@10_slice_:3" in full
+        assert "ndcg@10_slice_:3" in full
+        assert all(0.0 <= v <= 1.0 for v in full.values())
+
+
+class TestGinConfigs:
+    def test_all_configs_parse(self):
+        from hidvae_tpu.utils.ginlite import parse_gin_file
+
+        import glob as g
+
+        for path in g.glob("configs/*.gin"):
+            cfg = parse_gin_file(path)
+            assert "train" in cfg, path
+            assert len(cfg["train"]) > 5, path
+
+    def test_reference_config_values(self):
+        from hidvae_tpu.models.quantize import QuantizeForwardMode
+        from hidvae_tpu.utils.ginlite import parse_gin_file
+
+        cfg = parse_gin_file("configs/h_rqvae_amazon.gin")["train"]
+        assert cfg["vae_codebook_mode"] == QuantizeForwardMode.ROTATION_TRICK
+        assert cfg["vae_hidden_dims"] == [512, 256, 128]
+        assert cfg["tag_class_counts"] == [38, 168, 348]
+        assert cfg["lr_scheduler_eta_min"] == 7e-8
+        assert cfg["dataset"] == RecDataset.AMAZON
+
+    def test_binding_filters_unknown(self):
+        from hidvae_tpu.utils.ginlite import bind_to_kwargs, parse_gin_file
+        from hidvae_tpu.train.hidvae import train as hid_train
+
+        cfg = parse_gin_file("configs/h_rqvae_amazon.gin")
+        kwargs = bind_to_kwargs(cfg, "train", hid_train)
+        assert kwargs["iterations"] == 400000
+        assert kwargs["eval_tta"] is True
+        assert kwargs["layer_specific_lr"] is True
