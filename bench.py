@@ -1,0 +1,153 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Primary metric: stage-1 HiD-VAE tokenizer training throughput (items/sec/chip)
+at the reference's Amazon-Beauty shape (768-d inputs, hidden [512,256,128],
+32-d codes, 3x256 codebooks, tag heads [38,168,348], effective batch 256 —
+configs/h_rqvae_amazon.gin). Runs on whatever device the ambient JAX env
+provides (the real TPU chip under the driver).
+
+vs_baseline: ratio against the same training step expressed in the reference's
+framework (PyTorch, bench_baseline_torch.py) measured on this host's CPU — the
+only reference-framework hardware available here (the reference publishes no
+numbers, BASELINE.md). The torch-CPU number is cached in .bench_baseline.json.
+
+Extra detail (per-phase timings, secondary benches) goes to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def measure_stage1_items_per_sec(batch_size=256, steps=30, warmup=3):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from hidvae_tpu.models.hrqvae import HRqVae
+    from hidvae_tpu.models.quantize import QuantizeForwardMode
+    from hidvae_tpu.train.common import TrainState
+    from hidvae_tpu.train.hidvae import make_train_step
+
+    log(f"devices: {jax.devices()}")
+    model = HRqVae(
+        input_dim=768,
+        embed_dim=32,
+        hidden_dims=(512, 256, 128),
+        codebook_size=256,
+        codebook_normalize=True,
+        codebook_mode=QuantizeForwardMode.ROTATION_TRICK,
+        n_layers=3,
+        commitment_weight=0.4,
+        n_cat_features=0,
+        tag_class_counts=(38, 168, 348),
+        tag_embed_dim=768,
+        use_focal_loss=True,
+        focal_gamma_base=2.7,
+        focal_alpha_base=0.24,
+        dropout_rate=0.4,
+        sem_id_uniqueness_weight=1.5,
+        sem_id_uniqueness_margin=0.0,
+    )
+    rng = jax.random.key(0)
+    x = jax.random.normal(rng, (batch_size, 768))
+    x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    tags_emb = jax.random.normal(jax.random.fold_in(rng, 1), (batch_size, 3, 768))
+    tags_idx = jnp.stack(
+        [jax.random.randint(jax.random.fold_in(rng, 2 + i), (batch_size,), 0, c)
+         for i, c in enumerate((38, 168, 348))],
+        axis=-1,
+    )
+    tx = optax.adamw(3e-4, weight_decay=0.015)
+
+    # jit the whole init (op-by-op dispatch is pathological over the TPU tunnel).
+    @jax.jit
+    def make_state(rng, x, tags_emb, tags_idx):
+        variables = model.init(
+            {"params": rng, "gumbel": jax.random.key(1),
+             "dropout": jax.random.key(2), "mixup": jax.random.key(3)},
+            x, tags_emb, tags_idx, 0.2, train=True,
+        )
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+        )
+
+    t0 = time.perf_counter()
+    state = make_state(rng, x, tags_emb, tags_idx)
+    jax.block_until_ready(state.params)
+    log(f"init (jit): {time.perf_counter() - t0:.1f}s")
+
+    step_fn = make_train_step(model, tx, None, 0.2)
+
+    # One dispatch for N steps: scan inside jit so tunnel latency amortizes.
+    @jax.jit
+    def run(state, base_rng):
+        def body(carry, i):
+            new_state, metrics = step_fn(
+                carry, x, tags_emb, tags_idx, jax.random.fold_in(base_rng, i)
+            )
+            return new_state, metrics["loss"]
+
+        return jax.lax.scan(body, state, jnp.arange(steps))
+
+    t0 = time.perf_counter()
+    state, losses = run(state, jax.random.key(10))
+    jax.block_until_ready(losses)
+    log(f"first {steps}-step scan (incl. compile): {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    state, losses = run(state, jax.random.key(11))
+    jax.block_until_ready(losses)
+    dt = time.perf_counter() - t0
+    ips = batch_size * steps / dt
+    log(f"stage1: {steps} steps x {batch_size} items in {dt:.3f}s -> {ips:.0f} items/s "
+        f"(final loss={float(losses[-1]):.4f})")
+    return ips
+
+
+def torch_baseline_items_per_sec(cache_path=".bench_baseline.json"):
+    if os.path.exists(cache_path):
+        with open(cache_path) as f:
+            cached = json.load(f)
+        log(f"torch-CPU baseline (cached): {cached['items_per_sec']:.1f} items/s")
+        return cached["items_per_sec"]
+    try:
+        from bench_baseline_torch import measure_torch_items_per_sec
+
+        t0 = time.perf_counter()
+        ips = measure_torch_items_per_sec()
+        log(f"torch-CPU baseline: {ips:.1f} items/s "
+            f"(measured in {time.perf_counter() - t0:.0f}s)")
+        with open(cache_path, "w") as f:
+            json.dump({"items_per_sec": ips,
+                       "note": "reference-math stage-1 step, torch CPU, batch 256"},
+                      f)
+        return ips
+    except Exception as e:  # torch missing/broken must not kill the bench
+        log(f"torch baseline unavailable: {e}")
+        return None
+
+
+def main():
+    ips = measure_stage1_items_per_sec()
+    baseline = torch_baseline_items_per_sec()
+    vs = (ips / baseline) if baseline else 1.0
+    print(json.dumps({
+        "metric": "stage1_tokenizer_train_throughput",
+        "value": round(ips, 1),
+        "unit": "items/sec/chip",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
