@@ -264,6 +264,30 @@ class HRqVae(nn.Module):
     def decode(self, x):
         return self.decoder(x)
 
+    def stacked_codebooks(self):
+        """Effective per-level codebooks [L, K, D] (post SimVQ/normalize)."""
+        return jnp.stack([layer.codebook() for layer in self.layers])
+
+    def predict_tags_from_ids(self, ids):
+        """Tag predictions given precomputed semantic IDs [B, L] — used by the
+        fused corpus sweep so the quantize cascade isn't recomputed
+        (capability of ref predict_tags, h_rqvae.py:674-738, minus the
+        redundant re-quantization)."""
+        cbs = self.stacked_codebooks()          # [L, K, D]
+        embs = []
+        preds, confs = [], []
+        for i in range(self.n_layers):
+            embs.append(jnp.take(cbs[i], ids[:, i], axis=0))
+            concat = jnp.concatenate(embs, axis=-1)
+            logits = self.tag_predictors[i](concat, train=False)
+            probs = jax.nn.softmax(logits, axis=-1)
+            preds.append(jnp.argmax(probs, axis=-1).astype(jnp.int32))
+            confs.append(jnp.max(probs, axis=-1))
+        return {
+            "predictions": jnp.stack(preds, axis=-1),
+            "confidences": jnp.stack(confs, axis=-1),
+        }
+
     def _focal_params_for_layer(self, i: int):
         """Per-layer focal base params (train_hidvae.py:347-351)."""
         if self.focal_per_layer_schedule:

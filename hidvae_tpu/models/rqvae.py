@@ -106,6 +106,11 @@ class RqVae(nn.Module):
     def decode(self, x):
         return self.decoder(x)
 
+    def stacked_codebooks(self):
+        """Effective per-level codebooks [L, K, D] (post SimVQ/normalize), the
+        input to the fused Pallas assignment kernel (hidvae_tpu.ops.pallas)."""
+        return jnp.stack([layer.codebook() for layer in self.layers])
+
     def get_semantic_ids(self, x, gumbel_t: float = 0.001, train: bool = False) -> RqVaeOutput:
         """Residual quantization cascade (ref rqvae.py:114-138)."""
         res = self.encode(x)

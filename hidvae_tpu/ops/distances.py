@@ -9,6 +9,7 @@ can be served by the fused Pallas kernel in hidvae_tpu.ops.pallas.rq_kernels
 
 from enum import Enum
 
+import jax
 import jax.numpy as jnp
 
 from hidvae_tpu.ops.normalize import l2norm
@@ -27,7 +28,10 @@ def l2_distance(x, codebook):
     """
     x2 = jnp.sum(jnp.square(x), axis=-1, keepdims=True)            # [B, 1]
     c2 = jnp.sum(jnp.square(codebook), axis=-1)[None, :]           # [1, K]
-    xc = jnp.dot(x, codebook.T, preferred_element_type=jnp.float32)
+    # Full-precision MXU passes: assignment argmin must not flip on bf16-pass
+    # rounding (keeps training/eval/Pallas paths in exact agreement).
+    xc = jnp.dot(x, codebook.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     return x2 + c2 - 2.0 * xc
 
 
@@ -40,7 +44,8 @@ def cosine_distance(x, codebook):
     """
     xn = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
     cn = l2norm(codebook, axis=-1)
-    return -jnp.dot(xn, cn.T, preferred_element_type=jnp.float32)
+    return -jnp.dot(xn, cn.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
 
 
 def compute_distance(x, codebook, mode: DistanceMode):

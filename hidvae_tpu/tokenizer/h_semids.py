@@ -79,14 +79,16 @@ class HSemanticIdTokenizer:
 
         @jax.jit
         def _encode_ids(variables, x):
+            from hidvae_tpu.ops.pallas.rq_kernels import rq_assign_auto
+
             def run(m, x):
                 encoded = m.encode(x.astype(jnp.float32))
-                out = m.get_semantic_ids(encoded, gumbel_t=0.001, train=False)
+                ids, _ = rq_assign_auto(encoded, m.stacked_codebooks())
                 if needs_tags:
-                    tags = m.predict_tags(x)["predictions"]
+                    tags = m.predict_tags_from_ids(ids)["predictions"]
                 else:
                     tags = None
-                return out.sem_ids, tags
+                return ids, tags
 
             return model.apply(variables, x, method=run)
 

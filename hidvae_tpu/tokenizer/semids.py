@@ -76,11 +76,14 @@ class SemanticIdTokenizer:
 
         @jax.jit
         def _encode_ids(variables, x):
-            out = model.apply(
-                variables, x, 0.001, False,
-                method=lambda m, x, t, train: m.get_semantic_ids(x, t, train),
-            )
-            return out.sem_ids
+            from hidvae_tpu.ops.pallas.rq_kernels import rq_assign_auto
+
+            def run(m, x):
+                encoded = m.encode(x.astype(jnp.float32))
+                ids, _ = rq_assign_auto(encoded, m.stacked_codebooks())
+                return ids
+
+            return model.apply(variables, x, method=run)
 
         self._encode_ids = _encode_ids
 
