@@ -33,8 +33,6 @@ from hidvae_tpu.data.schemas import TokenizedSeqBatch
 from hidvae_tpu.models.embedder import SemIdEmbedder, UserIdEmbedder
 from hidvae_tpu.models.layers import RMSNorm
 from hidvae_tpu.models.transformer import TransformerEncoderDecoder
-from hidvae_tpu.ops.prefix_search import exists_prefix
-
 NEG_LARGE = -1.0e9
 INVALID_PENALTY = -10000.0  # ref model.py:217
 
@@ -190,6 +188,7 @@ class EncoderDecoderRetrievalModel(nn.Module):
         top_k: bool = True,
         sample: bool = False,
         rng=None,
+        prefix_caps=None,
     ) -> GenerationOutput:
         """Prefix-constrained beam search over sem_id_dim digits
         (ref model.py:163-319), fixed shapes throughout.
@@ -198,14 +197,24 @@ class EncoderDecoderRetrievalModel(nn.Module):
         hidvae_tpu.ops.prefix_search.build_prefix_index (the reference's
         `inference_verifier_fn` closure over tokenizer.exists_prefix,
         train_transformer.py:346); None disables the constraint.
-        sample=True draws candidates with Gumbel-top-k (the reference's
-        multinomial sampling); False takes deterministic top-k.
+
+        TPU redesign: instead of sampling 200 candidates per beam and verifying
+        each with an all-pairs corpus sweep (ref :178, :206-209), every beam
+        carries its half-open corpus row range; the step-i validity of ALL K
+        digits comes from one range-gather bitmap, and ranges narrow
+        incrementally by binary search inside the previous range. This is both
+        cheaper (no per-candidate verification) and a strictly stronger search
+        (exact top-k over every valid continuation rather than a 200-sample
+        approximation). Invalid digits carry the reference's -10000 penalty so
+        padded beams keep its score semantics.
+
+        prefix_caps: per-prefix-length max duplicate counts from the tokenizer
+        (exact bitmap bounds); derived heuristically when absent.
+        sample=True adds Gumbel noise (the reference's stochastic variant).
         """
         b = batch.sem_ids.shape[0]
         d = self.sem_id_dim
         k = 32 if top_k else 1            # ref :177
-        n_cand = 200 if top_k else 1      # ref :178
-        n_cand = min(n_cand, self.num_embeddings)
 
         enc, ctx_mask = self.encode_context(batch, train=False)
         # Broadcast encoder state to beams: [B*k, ...].
@@ -218,6 +227,19 @@ class EncoderDecoderRetrievalModel(nn.Module):
         log_probs = jnp.full((b, k), NEG_LARGE)
         log_probs = log_probs.at[:, 0].set(0.0)
 
+        if prefix_index is not None:
+            from hidvae_tpu.ops.prefix_search import (
+                first_digit_mask,
+                narrow_range,
+                valid_digit_mask,
+            )
+
+            n_corpus = prefix_index.shape[0]
+            lo = jnp.zeros((b, k), jnp.int32)
+            hi = jnp.full((b, k), n_corpus, jnp.int32)
+            step0_mask = first_digit_mask(prefix_index, self.num_embeddings)
+
+        kk = self.num_embeddings
         for i in range(d):
             dec_in = generated.reshape(b * k, d)
             logits_all = self.decode_logits(
@@ -225,48 +247,43 @@ class EncoderDecoderRetrievalModel(nn.Module):
             )
             step_logits = logits_all[:, i, :]                  # [B*k, K]
             step_logp = jax.nn.log_softmax(step_logits / temperature, axis=-1)
-
             if sample and rng is not None:
                 g = -jnp.log(-jnp.log(
                     jax.random.uniform(jax.random.fold_in(rng, i),
                                        step_logp.shape) + 1e-20) + 1e-20)
-                sel_scores = step_logp + g
-            else:
-                sel_scores = step_logp
-            _, cand_ids = jax.lax.top_k(sel_scores, n_cand)    # [B*k, C]
-            cand_logp = jnp.take_along_axis(step_logp, cand_ids, axis=-1)
+                step_logp = step_logp + g
 
             if prefix_index is not None:
-                prefix = jnp.concatenate(
-                    [
-                        jnp.broadcast_to(
-                            dec_in[:, None, :i], (b * k, n_cand, i)
-                        ),
-                        cand_ids[..., None],
-                    ],
-                    axis=-1,
-                )                                              # [B*k, C, i+1]
-                valid = exists_prefix(prefix_index, prefix)
-            else:
-                valid = jnp.ones_like(cand_ids, bool)
+                if i == 0:
+                    valid = jnp.broadcast_to(step0_mask[None, :], (b * k, kk))
+                else:
+                    if prefix_caps is not None:
+                        cap = int(prefix_caps[i - 1])
+                    else:
+                        cap = max(256, 4 * (n_corpus // max(kk ** i, 1)))
+                    cap = min(max(cap, 8), n_corpus)
+                    valid = valid_digit_mask(
+                        prefix_index, lo.reshape(-1), hi.reshape(-1), i, kk, cap
+                    )
+                step_logp = step_logp + INVALID_PENALTY * (~valid)
 
-            scores = (
-                INVALID_PENALTY * (~valid)
-                + cand_logp
-                + log_probs.reshape(b * k, 1)
-            ).reshape(b, k * n_cand)
-
+            scores = (step_logp + log_probs.reshape(b * k, 1)).reshape(b, k * kk)
             top_scores, top_idx = jax.lax.top_k(scores, k)     # [B, k]
-            parent = top_idx // n_cand                         # beam index
-            cand_slot = top_idx % n_cand
-            digits = jnp.take_along_axis(
-                cand_ids.reshape(b, k * n_cand), top_idx, axis=-1
-            )                                                  # [B, k]
+            parent = top_idx // kk                             # beam index
+            digits = (top_idx % kk).astype(jnp.int32)
 
-            generated = jnp.take_along_axis(
-                generated, parent[..., None], axis=1
-            )
+            generated = jnp.take_along_axis(generated, parent[..., None], axis=1)
             generated = generated.at[:, :, i].set(digits)
             log_probs = top_scores
+
+            if prefix_index is not None:
+                lo = jnp.take_along_axis(lo, parent, axis=1)
+                hi = jnp.take_along_axis(hi, parent, axis=1)
+                new_lo, new_hi = narrow_range(
+                    prefix_index, lo.reshape(-1), hi.reshape(-1), i,
+                    digits.reshape(-1),
+                )
+                lo = new_lo.reshape(b, k)
+                hi = new_hi.reshape(b, k)
 
         return GenerationOutput(sem_ids=generated, log_probas=log_probs)

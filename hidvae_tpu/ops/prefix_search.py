@@ -96,6 +96,82 @@ def exists_prefix_dense(corpus_ids, prefixes):
     return jnp.any(hit, axis=-1).reshape(batch_shape)
 
 
+def prefix_range(sorted_corpus, prefixes):
+    """Half-open row range [lo, hi) of corpus rows matching each prefix.
+
+    prefixes: [..., P] int32, P <= D. hi == lo when the prefix is absent.
+    """
+    batch_shape = prefixes.shape[:-1]
+    p = min(prefixes.shape[-1], sorted_corpus.shape[-1])
+    d = sorted_corpus.shape[-1]
+    q = prefixes[..., :p].reshape(-1, p).astype(jnp.int32)
+    pad_lo = jnp.full((q.shape[0], d - p), _NEG, jnp.int32)
+    pad_hi = jnp.full((q.shape[0], d - p), _POS, jnp.int32)
+    lo = _lex_bound(sorted_corpus, jnp.concatenate([q, pad_lo], -1), inclusive=False)
+    hi = _lex_bound(sorted_corpus, jnp.concatenate([q, pad_hi], -1), inclusive=True)
+    return lo.reshape(batch_shape), hi.reshape(batch_shape)
+
+
+def valid_digit_mask(sorted_corpus, lo, hi, level: int, n_digits: int, cap: int):
+    """For each [lo, hi) prefix range, the bitmap over the `level` column's
+    values within the range: out[q, v] = any(corpus[lo:hi, level] == v).
+
+    Exact as long as hi - lo <= cap. For a lexicographically-sorted corpus the
+    range after matching `level` digits is ~n_items / K^level, so
+    cap >= n_items / n_digits (with slack for skew) keeps every step past the
+    first exact; the first step should use `first_digit_mask` instead.
+
+    lo, hi: [Q] int32. Returns [Q, n_digits] bool.
+    """
+    q = lo.shape[0]
+    offs = jnp.arange(cap, dtype=jnp.int32)[None, :]            # [1, cap]
+    rows = jnp.clip(lo[:, None] + offs, 0, sorted_corpus.shape[0] - 1)
+    vals = sorted_corpus[rows, level]                            # [Q, cap]
+    in_range = offs < (hi - lo)[:, None]
+    # Scatter-max into a [Q, n_digits+1] bitmap (out-of-range -> slot n_digits).
+    slot = jnp.where(in_range, jnp.clip(vals, 0, n_digits - 1), n_digits)
+    out = jnp.zeros((q, n_digits + 1), jnp.bool_)
+    out = out.at[jnp.arange(q, dtype=jnp.int32)[:, None], slot].max(in_range)
+    return out[:, :n_digits]                                     # [Q, n_digits]
+
+
+def first_digit_mask(sorted_corpus, n_digits: int):
+    """Bitmap of first-column values present anywhere in the corpus (the exact
+    step-0 mask for constrained generation). Returns [n_digits] bool."""
+    col = sorted_corpus[:, 0]
+    onehot = jax.nn.one_hot(
+        jnp.clip(col, 0, n_digits - 1), n_digits, dtype=jnp.bool_
+    )
+    return jnp.any(onehot, axis=0)
+
+
+def narrow_range(sorted_corpus, lo, hi, level: int, digit):
+    """Narrow each [lo, hi) prefix range by fixing column `level` to `digit`
+    via binary search *within the range* (the incremental step of
+    constrained beam search). lo, hi, digit: [Q]. Returns (lo', hi')."""
+    n = sorted_corpus.shape[0]
+    steps = max(1, math.ceil(math.log2(max(n, 2)))) + 2
+
+    def bound(lo0, hi0, target_leq):
+        # Count rows in [lo0, hi0) whose column value < digit (or <= digit).
+        def body(_, carry):
+            a, b = carry
+            mid = (a + b) // 2
+            vals = sorted_corpus[jnp.clip(mid, 0, n - 1), level]
+            less = jnp.where(target_leq, vals <= digit, vals < digit)
+            active = a < b
+            a = jnp.where(active & less, mid + 1, a)
+            b = jnp.where(active & ~less, mid, b)
+            return a, b
+
+        a, _ = jax.lax.fori_loop(0, steps, body, (lo0, hi0))
+        return a
+
+    new_lo = bound(lo, hi, jnp.bool_(False))
+    new_hi = bound(lo, hi, jnp.bool_(True))
+    return new_lo, new_hi
+
+
 def duplicate_ranks(corpus_ids):
     """Per-row duplicate rank among identical ID tuples, in corpus order.
 

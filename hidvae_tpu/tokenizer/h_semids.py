@@ -97,6 +97,7 @@ class HSemanticIdTokenizer:
     def reset(self):
         self.cached_ids = None
         self._prefix_index = None
+        self._prefix_caps = None
 
     @property
     def sem_ids_dim(self):
@@ -147,6 +148,20 @@ class HSemanticIdTokenizer:
     @property
     def prefix_index(self):
         return self._prefix_index
+
+    @property
+    def prefix_caps(self):
+        """Per-prefix-length max duplicate counts (see SemanticIdTokenizer)."""
+        if self._prefix_caps is None and self.cached_ids is not None:
+            import numpy as np
+
+            ids = np.asarray(self.cached_ids)
+            caps = []
+            for length in range(1, ids.shape[1]):
+                _, counts = np.unique(ids[:, :length], axis=0, return_counts=True)
+                caps.append(int(counts.max()))
+            self._prefix_caps = caps
+        return self._prefix_caps
 
     def predict_tags(self, x):
         return self.hrq_vae.apply(self.variables, x, method=lambda m, x: m.predict_tags(x))

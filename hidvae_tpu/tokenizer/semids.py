@@ -90,6 +90,7 @@ class SemanticIdTokenizer:
     def reset(self):
         self.cached_ids = None
         self._prefix_index = None
+        self._prefix_caps = None
 
     @property
     def sem_ids_dim(self):
@@ -127,6 +128,21 @@ class SemanticIdTokenizer:
     @property
     def prefix_index(self):
         return self._prefix_index
+
+    @property
+    def prefix_caps(self):
+        """Per-prefix-length max duplicate counts (exact bitmap bounds for
+        constrained generation). caps[l-1] = max rows sharing an l-prefix."""
+        if self._prefix_caps is None and self.cached_ids is not None:
+            import numpy as np
+
+            ids = np.asarray(self.cached_ids)
+            caps = []
+            for length in range(1, ids.shape[1]):
+                _, counts = np.unique(ids[:, :length], axis=0, return_counts=True)
+                caps.append(int(counts.max()))
+            self._prefix_caps = caps
+        return self._prefix_caps
 
     def __call__(self, batch: SeqBatch) -> TokenizedSeqBatch:
         if self.cached_ids is None:

@@ -326,10 +326,12 @@ def train(
         out = model.apply({"params": params}, batch, False)
         return {"loss": out.loss, "loss_d": out.loss_d}
 
+    prefix_caps = tuple(tokenizer.prefix_caps) if tokenizer.prefix_caps else None
     generate = jax.jit(
         lambda params, batch, index: model.apply(
             {"params": params}, batch, index,
             temperature=generation_temperature,
+            prefix_caps=prefix_caps,
             method=EncoderDecoderRetrievalModel.generate_next_sem_id,
         )
     )
