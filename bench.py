@@ -25,6 +25,95 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def measure_stage2_seqs_per_sec(batch_size=256, steps=20):
+    """Stage-2 decoder training throughput at the Amazon concat-ID shape
+    (B=256, 20 items x 6 digits, 8-layer 512-d transformer, bf16 compute)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from hidvae_tpu.data.schemas import TokenizedSeqBatch
+    from hidvae_tpu.models.retrieval import EncoderDecoderRetrievalModel
+    from hidvae_tpu.train.common import TrainState
+
+    k, d, n = 256, 6, 20
+    rng_np = np.random.RandomState(0)
+    t = n * d
+    batch = TokenizedSeqBatch(
+        user_ids=jnp.arange(batch_size, dtype=jnp.int32),
+        sem_ids=jnp.asarray(rng_np.randint(0, k, (batch_size, t)), jnp.int32),
+        sem_ids_fut=jnp.asarray(rng_np.randint(0, k, (batch_size, d)), jnp.int32),
+        seq_mask=jnp.ones((batch_size, t), bool),
+        token_type_ids=jnp.tile(jnp.arange(d, dtype=jnp.int32), (batch_size, n)),
+        token_type_ids_fut=jnp.tile(jnp.arange(d, dtype=jnp.int32), (batch_size, 1)),
+    )
+    model = EncoderDecoderRetrievalModel(
+        embedding_dim=128, attn_dim=512, dropout=0.3, num_heads=8, n_layers=8,
+        num_embeddings=k, sem_id_dim=d, max_pos=t, n_sem_layers=3,
+        dtype=jnp.bfloat16,
+    )
+    tx = optax.adamw(3e-4, weight_decay=0.035)
+
+    @jax.jit
+    def init_state(rng):
+        v = model.init({"params": rng, "dropout": jax.random.key(1)}, batch, False)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=v["params"],
+                          batch_stats={}, opt_state=tx.init(v["params"]))
+
+    state = init_state(jax.random.key(0))
+
+    @jax.jit
+    def run(state, rng):
+        def body(carry, i):
+            def loss_fn(p):
+                return model.apply(
+                    {"params": p}, batch, True,
+                    rngs={"dropout": jax.random.fold_in(rng, i)},
+                ).loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(carry.params)
+            return carry.apply_gradients(grads=grads, tx=tx), loss
+
+        return jax.lax.scan(body, state, jnp.arange(steps))
+
+    state, losses = run(state, jax.random.key(2))
+    jax.block_until_ready(losses)
+    t0 = time.perf_counter()
+    state, losses = run(state, jax.random.key(3))
+    jax.block_until_ready(losses)
+    dt = time.perf_counter() - t0
+    sps = batch_size * steps / dt
+    log(f"stage2 train: {sps:.0f} seqs/s ({dt / steps * 1e3:.1f} ms/step)")
+
+    # Constrained beam generation (12k corpus, 32 beams, exact caps).
+    from hidvae_tpu.ops.prefix_search import build_prefix_index
+
+    corpus_np = np.random.RandomState(1).randint(0, k, (12000, d))
+    corpus = build_prefix_index(jnp.asarray(corpus_np, jnp.int32))
+    caps = []
+    for length in range(1, d):
+        _, c = np.unique(corpus_np[:, :length] if length > 1 else
+                         corpus_np[:, :1], axis=0, return_counts=True)
+        caps.append(int(c.max()))
+    gb = jax.tree_util.tree_map(lambda x: x[:64], batch)
+    gen = jax.jit(lambda p, b: model.apply(
+        {"params": p}, b, corpus, prefix_caps=tuple(caps),
+        method=EncoderDecoderRetrievalModel.generate_next_sem_id,
+    ))
+    out = gen(state.params, gb)
+    jax.block_until_ready(out.sem_ids)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = gen(state.params, gb)
+    jax.block_until_ready(out.sem_ids)
+    dt = (time.perf_counter() - t0) / 5
+    ups = 64 / dt
+    log(f"beam gen: {ups:.1f} users/s, {64 * 32 * d / dt:.0f} IDs/s "
+        f"({dt * 1e3:.0f} ms / 64-user batch)")
+    return sps, ups
+
+
 def measure_stage1_items_per_sec(batch_size=256, steps=30, warmup=3):
     import jax
     import jax.numpy as jnp
@@ -138,7 +227,20 @@ def torch_baseline_items_per_sec(cache_path=".bench_baseline.json"):
 
 
 def main():
+    from hidvae_tpu.utils.runtime import configure_runtime
+
+    configure_runtime()
     ips = measure_stage1_items_per_sec()
+    try:
+        sps, ups = measure_stage2_seqs_per_sec()
+        with open("BENCH_DETAILS.json", "w") as f:
+            json.dump({
+                "stage1_items_per_sec": round(ips, 1),
+                "stage2_train_seqs_per_sec": round(sps, 1),
+                "beam_gen_users_per_sec": round(ups, 1),
+            }, f, indent=2)
+    except Exception as e:  # secondary benches must not kill the primary line
+        log(f"stage2 bench failed: {e}")
     baseline = torch_baseline_items_per_sec()
     vs = (ips / baseline) if baseline else 1.0
     print(json.dumps({

@@ -32,12 +32,13 @@ class MLP(nn.Module):
     out_dim: int
     dropout: float = 0.0
     normalize: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dims = list(self.hidden_dims) + [self.out_dim]
         for i, d in enumerate(dims):
-            x = nn.Dense(d, use_bias=False, name=f"dense_{i}")(x)
+            x = nn.Dense(d, use_bias=False, name=f"dense_{i}", dtype=self.dtype)(x)
             if i != len(dims) - 1:
                 x = nn.silu(x)
                 if self.dropout > 0:

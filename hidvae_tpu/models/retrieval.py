@@ -93,9 +93,12 @@ class EncoderDecoderRetrievalModel(nn.Module):
             name="transformer",
             dtype=self.dtype,
         )
-        self.in_proj = nn.Dense(self.attn_dim, use_bias=False, name="in_proj")
-        self.in_proj_context = nn.Dense(self.attn_dim, use_bias=False, name="in_proj_context")
-        self.out_proj = nn.Dense(self.num_embeddings, use_bias=False, name="out_proj")
+        self.in_proj = nn.Dense(self.attn_dim, use_bias=False, name="in_proj",
+                                dtype=self.dtype)
+        self.in_proj_context = nn.Dense(self.attn_dim, use_bias=False,
+                                        name="in_proj_context", dtype=self.dtype)
+        self.out_proj = nn.Dense(self.num_embeddings, use_bias=False,
+                                 name="out_proj", dtype=self.dtype)
         # Input dropout p=0.5 (hardcoded in the reference, model.py:71).
         self.input_do = nn.Dropout(0.5)
 
@@ -164,7 +167,7 @@ class EncoderDecoderRetrievalModel(nn.Module):
             enc, ctx_mask, batch.sem_ids_fut, batch.token_type_ids_fut,
             batch.user_ids, train,
         )
-        logits = logits_all[:, :-1, :]                    # predict digit d from BOS..d-1
+        logits = logits_all[:, :-1, :].astype(jnp.float32)  # digit d from BOS..d-1
         target = batch.sem_ids_fut
         ignore = (target < 0) | (target >= self.num_embeddings)
         valid_target = jnp.where(ignore, 0, target)
@@ -245,7 +248,7 @@ class EncoderDecoderRetrievalModel(nn.Module):
             logits_all = self.decode_logits(
                 enc_b, mask_b, dec_in, ttids, user_b, train=False
             )
-            step_logits = logits_all[:, i, :]                  # [B*k, K]
+            step_logits = logits_all[:, i, :].astype(jnp.float32)  # [B*k, K]
             step_logp = jax.nn.log_softmax(step_logits / temperature, axis=-1)
             if sample and rng is not None:
                 g = -jnp.log(-jnp.log(

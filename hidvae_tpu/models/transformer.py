@@ -57,7 +57,7 @@ class TransformerBlock(nn.Module):
 
         ff = RMSNorm(self.d_out, name="ffn_norm")(attn_out)
         ff = MLP(hidden_dims=self.mlp_hidden_dims, out_dim=self.d_out,
-                 dropout=self.dropout, name="ff")(ff, train=train)
+                 dropout=self.dropout, name="ff", dtype=self.dtype)(ff, train=train)
         ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
         return attn_out + ff
 

@@ -285,6 +285,9 @@ def train(
 ):
     """Train the HiD-VAE tokenizer. Returns a result dict with the final
     state, tokenizer, and metric history."""
+    from hidvae_tpu.utils.runtime import configure_runtime
+
+    configure_runtime()
     time_stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
     save_dir = os.path.join(save_dir_root, f"hrqvae_{dataset.name}_{time_stamp}")
     _setup_logging(save_dir)

@@ -73,6 +73,9 @@ def train(
     eval_batches=None,
     make_plots=True,
 ):
+    from hidvae_tpu.utils.runtime import configure_runtime
+
+    configure_runtime()
     time_stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
     save_dir = os.path.join(save_dir_root, f"rqvae_{dataset.name}_{time_stamp}")
     from hidvae_tpu.train.hidvae import _setup_logging

@@ -202,6 +202,9 @@ def train(
     warmup_steps=10_000,
     make_plots=True,
 ):
+    from hidvae_tpu.utils.runtime import configure_runtime
+
+    configure_runtime()
     if attn_dropout is not None:
         dropout_p = attn_dropout
     time_stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
@@ -265,6 +268,8 @@ def train(
 
     # ---- model ----
     max_seq_len = train_seq.max_seq_len
+    # amp -> bf16 compute (params stay fp32); fp16 requests map to bf16 on TPU.
+    compute_dtype = jnp.bfloat16 if (amp or mixed_precision_type == "bf16") else jnp.float32
     model = EncoderDecoderRetrievalModel(
         embedding_dim=decoder_embed_dim,
         attn_dim=attn_embed_dim,
@@ -276,6 +281,7 @@ def train(
         max_pos=max_seq_len * sem_id_dim,   # ref train_transformer.py:348
         n_sem_layers=vae_n_layers,
         use_interleaved_ids=use_interleaved_ids,
+        dtype=compute_dtype,
     )
 
     example = tokenizer(_to_jax_seqbatch(train_seq.batch(np.arange(2), np_rng)))

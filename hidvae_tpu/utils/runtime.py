@@ -1,0 +1,49 @@
+"""Process-level JAX runtime configuration for TPU training.
+
+Centralizes performance-relevant process config:
+  * PRNG impl: threefry (JAX default) burns ~35% of a dropout-heavy train step
+    in counter math on TPU; 'rbg' uses the hardware generator and is the
+    default here (opt out with HIDVAE_PRNG_IMPL=threefry2x32 when bit-exact
+    reproducibility across backends matters).
+  * Persistent compilation cache (JAX_COMPILATION_CACHE_DIR).
+  * Optional multi-host init (HIDVAE_DISTRIBUTED=1 -> jax.distributed.initialize,
+    covering the reference's multi-node Accelerate surface over DCN).
+"""
+
+import logging
+import os
+
+logger = logging.getLogger("hidvae_tpu.runtime")
+
+_configured = False
+
+
+def configure_runtime():
+    global _configured
+    if _configured:
+        return
+    _configured = True
+    import jax
+
+    impl = os.environ.get("HIDVAE_PRNG_IMPL", "rbg")
+    try:
+        jax.config.update("jax_default_prng_impl", impl)
+    except Exception as e:  # pragma: no cover - config name drift
+        logger.warning(f"Could not set PRNG impl {impl}: {e}")
+
+    # Persistent compilation cache by default: first compiles go through a
+    # remote-compile tunnel here and cost minutes; reruns must be cheap.
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.join(os.getcwd(), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    if os.environ.get("HIDVAE_DISTRIBUTED") == "1":
+        jax.distributed.initialize()
+        logger.info(
+            f"jax.distributed initialized: process {jax.process_index()}"
+            f"/{jax.process_count()}"
+        )
