@@ -470,9 +470,6 @@ def train(
         # Even sharding over the data axis; replicate if indivisible.
         return jax.device_put(a, b_shard if a.shape[0] % n_data == 0 else r_shard)
 
-    # Effective per-step batch honors split_batches semantics (global batch).
-    train_iter = train_dataset.iter_batches(batch_size, np_rng)
-
     history = {k: [] for k in [
         "iterations", "total_loss", "reconstruction_loss", "rqvae_loss",
         "tag_align_loss", "tag_pred_loss", "tag_pred_accuracy",
@@ -482,46 +479,83 @@ def train(
     history["emb_norms"] = [[] for _ in range(vae_n_layers)]
     history["codebook_usage"] = [[] for _ in range(vae_n_layers)]
 
-    window = []
     best_eval_accuracy = 0.0
     saved_paths = []
     t_start = time.time()
     total_steps = iterations * gradient_accumulate_every
 
-    for it in range(start_iter, start_iter + total_steps):
-        batch = next(train_iter)
-        rng, step_rng = jax.random.split(rng)
-        state, metrics = train_step(
-            state,
-            to_device(batch.x),
-            to_device(batch.tags_emb) if has_tags else None,
-            to_device(batch.tags_indices) if has_tags else None,
-            step_rng,
+    # Device-resident pipeline: the whole item corpus lives in HBM and each
+    # step samples its own batch inside a scan-chunked jitted program (see
+    # hidvae_tpu.train.device_data). The host only logs and checkpoints.
+    from hidvae_tpu.train.device_data import DeviceItemData
+
+    ddata = DeviceItemData(
+        x=jnp.asarray(train_dataset.item_features),
+        tags_emb=jnp.asarray(train_dataset.tags_emb) if has_tags else None,
+        tags_indices=jnp.asarray(train_dataset.tags_indices) if has_tags else None,
+    )
+    chunk = max(1, min(log_every, total_steps))
+
+    def shard_dp(t):
+        """Split sampled batches over the data axis (XLA partitions the gather)."""
+        if t is None or n_data <= 1 or t.shape[0] % n_data != 0:
+            return t
+        return jax.lax.with_sharding_constraint(t, b_shard)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_chunk(state, base_rng):
+        def body(carry, i):
+            r_sample, r_step = jax.random.split(jax.random.fold_in(base_rng, i))
+            x, te, ti = ddata.sample(r_sample, batch_size)
+            new_state, metrics = train_step(
+                carry, shard_dp(x), shard_dp(te), shard_dp(ti), r_step
+            )
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, jnp.arange(chunk))
+
+    it = start_iter
+    while it < start_iter + total_steps:
+        n_now = min(chunk, start_iter + total_steps - it)
+        rng, chunk_rng = jax.random.split(rng)
+        if n_now == chunk:
+            state, mstack = train_chunk(state, chunk_rng)
+        else:  # ragged tail chunk
+            for j in range(n_now):
+                r_s, r_t = jax.random.split(jax.random.fold_in(chunk_rng, j))
+                x, te, ti = ddata.sample(r_s, batch_size)
+                state, metrics = train_step(state, x, te, ti, r_t)
+            mstack = jax.tree_util.tree_map(
+                lambda v: v[None] if v is not None else None, metrics
+            )
+        prev_it, it = it, it + n_now
+
+        m = {
+            k: np.asarray(v)[-1] for k, v in mstack.items() if v is not None
+        }
+        mean_loss = float(np.mean(np.asarray(mstack["loss"])))
+        history["iterations"].append(it - 1)
+        history["total_loss"].append(float(m["loss"]))
+        history["reconstruction_loss"].append(float(m["reconstruction_loss"]))
+        history["rqvae_loss"].append(float(m["rqvae_loss"]))
+        history["tag_align_loss"].append(float(m["tag_align_loss"]))
+        history["tag_pred_loss"].append(float(m["tag_pred_loss"]))
+        history["tag_pred_accuracy"].append(float(m["tag_pred_accuracy"]))
+        for l in range(vae_n_layers):
+            history["emb_norms"][l].append(float(m["emb_norms"][l]))
+        logger.info(
+            f"iter {it - 1}: loss={m['loss']:.4f} (chunk mean {mean_loss:.4f}) "
+            f"recon={m['reconstruction_loss']:.4f} rq={m['rqvae_loss']:.4f} "
+            f"align={m['tag_align_loss']:.4f} pred={m['tag_pred_loss']:.4f} "
+            f"acc={m['tag_pred_accuracy']:.4f} p_unique={m['p_unique_ids']:.4f} "
+            f"({(it - start_iter) * batch_size / (time.time() - t_start):.0f} items/s)"
         )
 
-        if it % log_every == 0 or it == start_iter + total_steps - 1:
-            m = {k: np.asarray(v) for k, v in metrics.items() if v is not None}
-            window.append(float(m["loss"]))
-            window = window[-1000:]
-            history["iterations"].append(it)
-            history["total_loss"].append(float(m["loss"]))
-            history["reconstruction_loss"].append(float(m["reconstruction_loss"]))
-            history["rqvae_loss"].append(float(m["rqvae_loss"]))
-            history["tag_align_loss"].append(float(m["tag_align_loss"]))
-            history["tag_pred_loss"].append(float(m["tag_pred_loss"]))
-            history["tag_pred_accuracy"].append(float(m["tag_pred_accuracy"]))
-            for l in range(vae_n_layers):
-                history["emb_norms"][l].append(float(m["emb_norms"][l]))
-            logger.info(
-                f"iter {it}: loss={m['loss']:.4f} recon={m['reconstruction_loss']:.4f} "
-                f"rq={m['rqvae_loss']:.4f} align={m['tag_align_loss']:.4f} "
-                f"pred={m['tag_pred_loss']:.4f} acc={m['tag_pred_accuracy']:.4f} "
-                f"p_unique={m['p_unique_ids']:.4f} "
-                f"({(it - start_iter + 1) * batch_size / (time.time() - t_start):.0f} items/s)"
-            )
+        def crossed(every):
+            return (prev_it // every) != (it // every) or it == start_iter + total_steps
 
-        do_eval_now = do_eval and ((it + 1) % eval_every == 0 or it + 1 == start_iter + total_steps)
-        do_save_now = (it + 1) % save_model_every == 0 or it + 1 == start_iter + total_steps
+        do_eval_now = do_eval and crossed(eval_every)
+        do_save_now = crossed(save_model_every)
 
         if do_eval_now and eval_dataset is not None and len(eval_dataset) > 0:
             eval_metrics = _run_eval(

@@ -23,33 +23,40 @@ def kmeans_init_codebooks(model, variables, x, rng, *, max_items: int = 20_000):
     initialized from (residuals of) the encoded init batch.
 
     model: RqVae or HRqVae module definition; x: [B, input_dim] item features.
+    The whole pass runs as ONE jitted program (eager per-op dispatch is
+    pathological over a remote-device tunnel).
     """
-    params = variables["params"]
     x = x[:max_items]
-    encoded = model.apply(variables, x.astype(jnp.float32), method=lambda m, x: m.encode(x))
 
-    res = encoded
-    new_params = dict(params)
-    for i in range(model.n_layers):
-        layer_name = f"quantize_{i}"
-        layer_params = dict(params[layer_name])
-        rng, sub = jax.random.split(rng)
-        out = kmeans(sub, res, k=model.codebook_size, max_iters=100)
-        layer_params["embedding"] = out.centroids
-        new_params[layer_name] = layer_params
+    @jax.jit
+    def run(variables, x, rng):
+        params = variables["params"]
+        encoded = model.apply(
+            variables, x.astype(jnp.float32), method=lambda m, x: m.encode(x)
+        )
+        res = encoded
+        new_params = dict(params)
+        for i in range(model.n_layers):
+            layer_name = f"quantize_{i}"
+            layer_params = dict(params[layer_name])
+            rng, sub = jax.random.split(rng)
+            out = kmeans(sub, res, k=model.codebook_size, max_iters=100)
+            layer_params["embedding"] = out.centroids
+            new_params[layer_name] = layer_params
 
-        # Effective codebook after this level's transform (mirror
-        # Quantize.codebook(): SimVQ projection then normalization).
-        cb = out.centroids
-        if model.codebook_sim_vq:
-            kernel = layer_params["out_proj"]["kernel"]
-            cb = cb @ kernel
-        if i == 0 and model.codebook_normalize:
-            cb = l2norm(cb, axis=-1)
-        dist = compute_distance(res, cb, DistanceMode.L2)
-        ids = jnp.argmin(dist, axis=-1)
-        res = res - jnp.take(cb, ids, axis=0)
+            # Effective codebook after this level's transform (mirror
+            # Quantize.codebook(): SimVQ projection then normalization).
+            cb = out.centroids
+            if model.codebook_sim_vq:
+                kernel = layer_params["out_proj"]["kernel"]
+                cb = cb @ kernel
+            if i == 0 and model.codebook_normalize:
+                cb = l2norm(cb, axis=-1)
+            dist = compute_distance(res, cb, DistanceMode.L2)
+            ids = jnp.argmin(dist, axis=-1)
+            res = res - jnp.take(cb, ids, axis=0)
+        return new_params
 
     out_vars = dict(variables)
-    out_vars["params"] = new_params
+    out_vars["params"] = run(variables, x, rng)
     return out_vars

@@ -353,29 +353,75 @@ def train(
 
         return jax.tree_util.tree_map(put, batch)
 
-    train_iter = train_seq.iter_batches(batch_size, np_rng)
     history = {"iterations": [], "train_loss": [], "eval_iterations": [],
                "eval_loss": [], "full_eval_iterations": [], "full_eval_metrics": []}
     saved = []
     t_start = time.time()
 
-    for it in range(start_iter, start_iter + iterations):
-        raw = next(train_iter)
-        tokenized = tokenizer(_to_jax_seqbatch(raw))
-        rng, step_rng = jax.random.split(rng)
-        state, m = train_step(state, to_device(tokenized), step_rng)
+    # Device-resident pipeline: histories + corpus table live in HBM; each
+    # step samples rows, random-crops windows, and tokenizes by gather inside
+    # a scan-chunked jitted program (hidvae_tpu.train.device_data).
+    from hidvae_tpu.train.device_data import (
+        DeviceSeqData,
+        random_crop_windows,
+        tokenize_on_device,
+    )
 
-        if it % log_every == 0 or it == start_iter + iterations - 1:
-            loss = float(np.asarray(m["loss"]))
-            history["iterations"].append(it)
-            history["train_loss"].append(loss)
-            logger.info(
-                f"iter {it}: loss={loss:.4f} "
-                f"loss_d={np.asarray(m['loss_d']).round(3).tolist()} "
-                f"({(it - start_iter + 1) * batch_size / (time.time() - t_start):.0f} seqs/s)"
+    dseq = DeviceSeqData(
+        user_ids=jnp.asarray(train_seq.users, jnp.int32),
+        items=jnp.asarray(train_seq.items, jnp.int32),
+        fut=jnp.asarray(train_seq.fut, jnp.int32),
+    )
+    cached_table = jnp.asarray(tokenizer.cached_ids, jnp.int32)
+    chunk = max(1, min(log_every, iterations))
+
+    @jax.jit
+    def train_chunk(state, base_rng):
+        def body(carry, i):
+            r_sample, r_crop, r_step = jax.random.split(
+                jax.random.fold_in(base_rng, i), 3
             )
+            u, items, fut = dseq.sample_rows(r_sample, batch_size)
+            if train_seq.subsample:
+                items, fut = random_crop_windows(r_crop, items, fut)
+            tokenized = tokenize_on_device(cached_table, u, items, fut)
+            new_state, m = train_step(carry, tokenized, r_step)
+            return new_state, m
 
-        if (it + 1) % partial_eval_every == 0 or it + 1 == start_iter + iterations:
+        return jax.lax.scan(body, state, jnp.arange(chunk))
+
+    it = start_iter
+    while it < start_iter + iterations:
+        n_now = min(chunk, start_iter + iterations - it)
+        rng, chunk_rng = jax.random.split(rng)
+        if n_now == chunk:
+            state, mstack = train_chunk(state, chunk_rng)
+            loss = float(np.asarray(mstack["loss"])[-1])
+            loss_d = np.asarray(mstack["loss_d"])[-1]
+        else:  # ragged tail: fall back to per-step host calls
+            for j in range(n_now):
+                r_s, r_c, r_t = jax.random.split(jax.random.fold_in(chunk_rng, j), 3)
+                u, items_, fut_ = dseq.sample_rows(r_s, batch_size)
+                if train_seq.subsample:
+                    items_, fut_ = random_crop_windows(r_c, items_, fut_)
+                tokenized = tokenize_on_device(cached_table, u, items_, fut_)
+                state, m = train_step(state, tokenized, r_t)
+            loss = float(np.asarray(m["loss"]))
+            loss_d = np.asarray(m["loss_d"])
+        prev_it, it = it, it + n_now
+
+        history["iterations"].append(it - 1)
+        history["train_loss"].append(loss)
+        logger.info(
+            f"iter {it - 1}: loss={loss:.4f} "
+            f"loss_d={loss_d.round(3).tolist()} "
+            f"({(it - start_iter) * batch_size / (time.time() - t_start):.0f} seqs/s)"
+        )
+
+        def crossed(every):
+            return (prev_it // every) != (it // every) or it == start_iter + iterations
+
+        if crossed(partial_eval_every):
             sums, n = 0.0, 0
             for bi, eb in enumerate(eval_seq.iter_eval_batches(batch_size)):
                 if eval_batches is not None and bi >= eval_batches:
@@ -388,7 +434,7 @@ def train(
             history["eval_loss"].append(sums / max(n, 1))
             logger.info(f"partial eval @ {it}: loss={sums / max(n, 1):.4f}")
 
-        if (it + 1) % full_eval_every == 0 or it + 1 == start_iter + iterations:
+        if crossed(full_eval_every):
             metrics = full_eval(
                 generate, state.params, tokenizer, eval_seq, batch_size,
                 eval_batches=eval_batches,
@@ -400,7 +446,7 @@ def train(
                 if "slice" in k or "pos" in k
             ))
 
-        if (it + 1) % save_model_every == 0 or it + 1 == start_iter + iterations:
+        if crossed(save_model_every):
             payload = {
                 "step": state.step,
                 "params": state.params,
