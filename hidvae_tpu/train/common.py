@@ -104,9 +104,10 @@ def make_optimizer(
     predictor_weight_decay: float = 0.02,
     n_layers: int = 3,
     params_example=None,
+    max_grad_norm=None,
 ):
     """AdamW, optionally with per-layer parameter groups for the tag heads
-    (ref train_hidvae.py:532-575)."""
+    (ref train_hidvae.py:532-575) and global-norm gradient clipping."""
     if not layer_specific_lr:
         tx = optax.adamw(learning_rate, weight_decay=weight_decay)
     else:
@@ -134,6 +135,8 @@ def make_optimizer(
             transforms[f"head_{i}"] = optax.adamw(lr_i, weight_decay=wd_i)
         tx = optax.multi_transform(transforms, label_fn)
 
+    if max_grad_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
     if gradient_accumulate_every > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=gradient_accumulate_every)
     return tx

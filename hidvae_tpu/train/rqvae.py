@@ -40,7 +40,7 @@ def train(
     batch_size=64,
     learning_rate=0.0001,
     weight_decay=0.01,
-    max_grad_norm=1.0,
+    max_grad_norm=None,  # optional global-norm clip (TPU-native extra; ref does not clip)
     dataset_folder="dataset/synthetic",
     dataset=RecDataset.SYNTHETIC,
     pretrained_rqvae_path=None,
@@ -137,7 +137,8 @@ def train(
 
     schedule = make_lr_schedule(learning_rate)
     tx = make_optimizer(
-        schedule, weight_decay, gradient_accumulate_every=gradient_accumulate_every
+        schedule, weight_decay, gradient_accumulate_every=gradient_accumulate_every,
+        max_grad_norm=max_grad_norm,
     )
     state = TrainState(
         step=jnp.asarray(start_iter, jnp.int32),

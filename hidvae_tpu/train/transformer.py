@@ -155,7 +155,7 @@ def train(
     batch_size=64,
     learning_rate=0.0003,
     weight_decay=0.035,
-    max_grad_norm=1.0,
+    max_grad_norm=None,  # optional global-norm clip (TPU-native extra; ref does not clip)
     dataset_folder="dataset/synthetic",
     dataset=RecDataset.SYNTHETIC,
     pretrained_rqvae_path=None,
@@ -292,7 +292,7 @@ def train(
     params = variables["params"]
 
     schedule = inverse_sqrt_schedule(learning_rate, warmup_steps)
-    tx = make_optimizer(schedule, weight_decay)
+    tx = make_optimizer(schedule, weight_decay, max_grad_norm=max_grad_norm)
     start_iter = 0
     if pretrained_decoder_path is not None:
         restored = restore_checkpoint(
