@@ -64,6 +64,7 @@ class EncoderDecoderRetrievalModel(nn.Module):
     n_sem_layers: int = 3
     use_interleaved_ids: bool = False
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # rematerialize blocks (long-sequence memory relief)
 
     def setup(self):
         self.bos_emb = self.param(
@@ -92,6 +93,7 @@ class EncoderDecoderRetrievalModel(nn.Module):
             dropout=self.dropout,
             name="transformer",
             dtype=self.dtype,
+            remat=self.remat,
         )
         self.in_proj = nn.Dense(self.attn_dim, use_bias=False, name="in_proj",
                                 dtype=self.dtype)

@@ -21,7 +21,12 @@ from hidvae_tpu.models.layers import MLP, RMSNorm
 
 
 class TransformerBlock(nn.Module):
-    """Pre-norm block: self-attn (+ optional cross-attn) + FF (ref model.py:21-92)."""
+    """Pre-norm block: self-attn (+ optional cross-attn) + FF (ref model.py:21-92).
+
+    `is_causal` / `train` are construction-time fields (not call kwargs) so the
+    block can sit behind nn.remat with only array arguments crossing the
+    checkpoint boundary.
+    """
 
     d_out: int
     num_heads: int
@@ -29,18 +34,18 @@ class TransformerBlock(nn.Module):
     do_cross_attn: bool = False
     mlp_hidden_dims: Sequence[int] = (1024,)
     dtype: jnp.dtype = jnp.float32
+    is_causal: bool = True
+    train: bool = False
 
     @nn.compact
     def __call__(
         self,
         x,
         x_kv=None,
-        *,
         self_padding_mask=None,
         kv_padding_mask=None,
-        is_causal: bool = True,
-        train: bool = False,
     ):
+        is_causal, train = self.is_causal, self.train
         drop = nn.Dropout(self.dropout, deterministic=not train)
         h = RMSNorm(self.d_out, name="attn_norm")(x)
         attn_out = x + MultiHeadAttention(
@@ -63,7 +68,12 @@ class TransformerBlock(nn.Module):
 
 
 class TransformerStack(nn.Module):
-    """N stacked blocks (ref TransformerDecoder, model.py:95-136)."""
+    """N stacked blocks (ref TransformerDecoder, model.py:95-136).
+
+    `remat=True` rematerializes each block on the backward pass
+    (jax.checkpoint), trading FLOPs for HBM — needed at MovieLens sequence
+    lengths (200 items x 3 digits = 601 tokens) with large batches.
+    """
 
     d_out: int
     num_heads: int
@@ -71,6 +81,7 @@ class TransformerStack(nn.Module):
     dropout: float = 0.0
     do_cross_attn: bool = False
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -83,16 +94,16 @@ class TransformerStack(nn.Module):
         is_causal: bool = True,
         train: bool = False,
     ):
+        block_cls = (
+            nn.remat(TransformerBlock, prevent_cse=False) if self.remat
+            else TransformerBlock
+        )
         for i in range(self.n_layers):
-            x = TransformerBlock(
+            x = block_cls(
                 d_out=self.d_out, num_heads=self.num_heads, dropout=self.dropout,
-                do_cross_attn=self.do_cross_attn, name=f"block_{i}", dtype=self.dtype,
-            )(
-                x, context,
-                self_padding_mask=self_padding_mask,
-                kv_padding_mask=kv_padding_mask,
-                is_causal=is_causal, train=train,
-            )
+                do_cross_attn=self.do_cross_attn, name=f"block_{i}",
+                dtype=self.dtype, is_causal=is_causal, train=train,
+            )(x, context, self_padding_mask, kv_padding_mask)
         return x
 
 
@@ -106,15 +117,18 @@ class TransformerEncoderDecoder(nn.Module):
     decoder_layers: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     def setup(self):
         self.encoder = TransformerStack(
             d_out=self.d_out, num_heads=self.num_heads, n_layers=self.encoder_layers,
-            dropout=self.dropout, do_cross_attn=False, name="encoder", dtype=self.dtype,
+            dropout=self.dropout, do_cross_attn=False, name="encoder",
+            dtype=self.dtype, remat=self.remat,
         )
         self.decoder = TransformerStack(
             d_out=self.d_out, num_heads=self.num_heads, n_layers=self.decoder_layers,
-            dropout=self.dropout, do_cross_attn=True, name="decoder", dtype=self.dtype,
+            dropout=self.dropout, do_cross_attn=True, name="decoder",
+            dtype=self.dtype, remat=self.remat,
         )
 
     def encode(self, context, *, padding_mask=None, train: bool = False):

@@ -200,6 +200,7 @@ def train(
     eval_batches=None,
     generation_temperature=1.0,
     warmup_steps=10_000,
+    remat=False,
     make_plots=True,
 ):
     from hidvae_tpu.utils.runtime import configure_runtime
@@ -282,6 +283,7 @@ def train(
         n_sem_layers=vae_n_layers,
         use_interleaved_ids=use_interleaved_ids,
         dtype=compute_dtype,
+        remat=remat,
     )
 
     example = tokenizer(_to_jax_seqbatch(train_seq.batch(np.arange(2), np_rng)))
