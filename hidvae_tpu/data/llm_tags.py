@@ -17,11 +17,10 @@ reference loops per item per candidate tag (fill_kuairand_simple.py:180-216).
 
 import json
 import logging
-import random
 import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np

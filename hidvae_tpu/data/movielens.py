@@ -18,7 +18,7 @@ Recipe:
 """
 
 import os
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 import pandas as pd

@@ -14,7 +14,7 @@ enough to exercise every downstream stage offline. Embeddings are cached per
 import hashlib
 import logging
 import os
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

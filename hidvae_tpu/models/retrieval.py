@@ -22,7 +22,7 @@ intentionally absent: dense padded attention with masks is the idiomatic XLA
 equivalent (SURVEY.md §2.1).
 """
 
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

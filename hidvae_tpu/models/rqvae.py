@@ -10,7 +10,7 @@ TPU design: pure flax.linen module; the L-level loop is unrolled at trace time
 program; k-means init is an explicit pass (see hidvae_tpu.train.init).
 """
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

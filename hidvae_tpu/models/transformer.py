@@ -11,7 +11,7 @@ beam-search loop carries, and its (disabled) KV cache is unnecessary — the
 decoder side is at most sem_id_dim+1 tokens, one fused attention per step.
 """
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

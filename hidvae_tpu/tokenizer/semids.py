@@ -16,8 +16,6 @@ item-feature matrix; `exists_prefix` uses the sorted-table binary search from
 hidvae_tpu.ops.prefix_search instead of the O(Q*N*D) equality sweep.
 """
 
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

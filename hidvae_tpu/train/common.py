@@ -16,17 +16,15 @@ Parity targets:
     (train_rqvae.py:316-343).
 """
 
-import dataclasses
 import json
 import os
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 
 @struct.dataclass

@@ -15,18 +15,15 @@ sharded over 'data', parameters replicated; XLA inserts the DP gradient
 all-reduce. Host code only feeds numpy batches and logs scalars.
 """
 
-import json
 import logging
 import os
 import time
 from datetime import datetime
 from functools import partial
-from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from hidvae_tpu.data.processed import ItemData, RecDataset
 from hidvae_tpu.models.hrqvae import HRqVae

@@ -14,7 +14,7 @@ reference passes pre-remap counts sized to the original vocab
 remapped targets; we keep the corrected semantics.
 """
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

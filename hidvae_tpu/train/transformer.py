@@ -19,7 +19,6 @@ import logging
 import os
 import time
 from datetime import datetime
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -424,7 +423,10 @@ def train(
             return (prev_it // every) != (it // every) or it == start_iter + iterations
 
         if crossed(partial_eval_every):
+            from hidvae_tpu.utils.debug import compute_debug_metrics
+
             sums, n = 0.0, 0
+            dbg = {}
             for bi, eb in enumerate(eval_seq.iter_eval_batches(batch_size)):
                 if eval_batches is not None and bi >= eval_batches:
                     break
@@ -432,9 +434,16 @@ def train(
                 em = eval_loss_step(state.params, to_device(tok))
                 sums += float(np.asarray(em["loss"])) * len(eb.user_ids)
                 n += len(eb.user_ids)
+                if bi == 0:  # seq-length quantiles + per-digit losses (ref
+                    # modules/utils.py:65-78, logged at eval in the reference)
+                    class _O:  # minimal shim carrying loss_d
+                        loss_d = em["loss_d"]
+
+                    dbg = compute_debug_metrics(tok, _O, prefix="eval")
             history["eval_iterations"].append(it)
             history["eval_loss"].append(sums / max(n, 1))
-            logger.info(f"partial eval @ {it}: loss={sums / max(n, 1):.4f}")
+            logger.info(f"partial eval @ {it}: loss={sums / max(n, 1):.4f} "
+                        + " ".join(f"{k}={v:.3g}" for k, v in dbg.items()))
 
         if crossed(full_eval_every):
             metrics = full_eval(
