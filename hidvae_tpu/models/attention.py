@@ -70,7 +70,7 @@ def _flash_self_attention(q, k, v, kv_padding_mask, is_causal, dtype):
     else:
         seg = jnp.pad(kv_padding_mask.astype(jnp.int32), ((0, 0), (0, pad)))
     out = flash_attention(
-        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        q.astype(dtype), k.astype(dtype), v.astype(dtype),
         segment_ids=SegmentIds(q=seg, kv=seg),
         causal=is_causal,
         sm_scale=d ** -0.5,
@@ -122,16 +122,21 @@ class MultiHeadAttention(nn.Module):
         q, k, v = heads(q), heads(k), heads(v)
 
         # Measured on v5e: at this domain's longest sequences (601 tokens,
-        # ML-32M) XLA's dense masked attention beats the flash kernel
-        # (2.2 vs 3.0 ms) — the auto path only engages at lengths this
-        # workload never reaches; use_flash=True forces it.
-        flash_ok = (
+        # ML-32M) XLA's dense masked attention beats the flash kernel both
+        # forward (2.2 vs 3.0 ms fp32) and fwd+bwd (109 vs 219 ms/step bf16,
+        # 4-layer stack) — flash's tiled backward only pays off at lengths
+        # this workload never reaches; the auto path needs >= 2048 tokens and
+        # use_flash=True forces it for future long-context variants.
+        flash_capable = (
             not self.cross_attn
             and jax.default_backend() == "tpu"
-            and q.shape[2] >= 2048
             and head_dim % 64 == 0
+            and q.shape[2] > 1
         )
-        use_flash = flash_ok if self.use_flash is None else (self.use_flash and flash_ok)
+        if self.use_flash is None:
+            use_flash = flash_capable and q.shape[2] >= 2048  # auto threshold
+        else:
+            use_flash = self.use_flash and flash_capable
         if use_flash:
             out = _flash_self_attention(
                 q, k, v, kv_padding_mask, is_causal, self.dtype

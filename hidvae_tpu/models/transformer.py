@@ -11,7 +11,7 @@ beam-search loop carries, and its (disabled) KV cache is unnecessary — the
 decoder side is at most sem_id_dim+1 tokens, one fused attention per step.
 """
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -36,6 +36,7 @@ class TransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     is_causal: bool = True
     train: bool = False
+    use_flash: Optional[bool] = None  # None = auto; True forces flash self-attn
 
     @nn.compact
     def __call__(
@@ -50,7 +51,7 @@ class TransformerBlock(nn.Module):
         h = RMSNorm(self.d_out, name="attn_norm")(x)
         attn_out = x + MultiHeadAttention(
             d_out=self.d_out, num_heads=self.num_heads, name="attention",
-            dtype=self.dtype,
+            dtype=self.dtype, use_flash=self.use_flash,
         )(drop(h), kv_padding_mask=self_padding_mask, is_causal=is_causal)
 
         if self.do_cross_attn:
@@ -82,6 +83,7 @@ class TransformerStack(nn.Module):
     do_cross_attn: bool = False
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    use_flash: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -103,6 +105,7 @@ class TransformerStack(nn.Module):
                 d_out=self.d_out, num_heads=self.num_heads, dropout=self.dropout,
                 do_cross_attn=self.do_cross_attn, name=f"block_{i}",
                 dtype=self.dtype, is_causal=is_causal, train=train,
+                use_flash=self.use_flash,
             )(x, context, self_padding_mask, kv_padding_mask)
         return x
 
@@ -118,12 +121,13 @@ class TransformerEncoderDecoder(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    encoder_flash: Optional[bool] = None  # None = auto; True forces flash on encoder self-attn
 
     def setup(self):
         self.encoder = TransformerStack(
             d_out=self.d_out, num_heads=self.num_heads, n_layers=self.encoder_layers,
             dropout=self.dropout, do_cross_attn=False, name="encoder",
-            dtype=self.dtype, remat=self.remat,
+            dtype=self.dtype, remat=self.remat, use_flash=self.encoder_flash,
         )
         self.decoder = TransformerStack(
             d_out=self.d_out, num_heads=self.num_heads, n_layers=self.decoder_layers,

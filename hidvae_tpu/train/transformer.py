@@ -506,4 +506,12 @@ def full_eval(generate, params, tokenizer, eval_seq, batch_size, eval_batches=No
         top_k_ids = np.asarray(gen.sem_ids)
         topk.accumulate(actual, top_k_ids)
         ndcg.accumulate(actual, top_k_ids)
+        if bi == 0:
+            # Sample prediction printouts (ref train_transformer.py:619-795).
+            for s in range(min(3, len(actual))):
+                logger.info(
+                    f"eval sample {s}: actual={actual[s].tolist()} "
+                    f"top3={[row.tolist() for row in top_k_ids[s, :3]]} "
+                    f"hit@10={bool((top_k_ids[s, :10] == actual[s]).all(-1).any())}"
+                )
     return {**topk.reduce(), **ndcg.reduce()}
