@@ -128,21 +128,26 @@ def valid_digit_mask(sorted_corpus, lo, hi, level: int, n_digits: int, cap: int)
     rows = jnp.clip(lo[:, None] + offs, 0, sorted_corpus.shape[0] - 1)
     vals = sorted_corpus[rows, level]                            # [Q, cap]
     in_range = offs < (hi - lo)[:, None]
-    # Scatter-max into a [Q, n_digits+1] bitmap (out-of-range -> slot n_digits).
-    slot = jnp.where(in_range, jnp.clip(vals, 0, n_digits - 1), n_digits)
+    # Scatter-max into a [Q, n_digits+1] bitmap. Values outside [0, n_digits)
+    # (e.g. tag digits >= the semantic vocab in concatenated layouts) are
+    # unreachable by a K-way softmax and must NOT clip into real slots.
+    representable = in_range & (vals >= 0) & (vals < n_digits)
+    slot = jnp.where(representable, vals, n_digits)
     out = jnp.zeros((q, n_digits + 1), jnp.bool_)
-    out = out.at[jnp.arange(q, dtype=jnp.int32)[:, None], slot].max(in_range)
+    out = out.at[jnp.arange(q, dtype=jnp.int32)[:, None], slot].max(representable)
     return out[:, :n_digits]                                     # [Q, n_digits]
 
 
 def first_digit_mask(sorted_corpus, n_digits: int):
     """Bitmap of first-column values present anywhere in the corpus (the exact
-    step-0 mask for constrained generation). Returns [n_digits] bool."""
+    step-0 mask for constrained generation). Values outside [0, n_digits) are
+    unreachable and excluded. Returns [n_digits] bool."""
     col = sorted_corpus[:, 0]
+    ok = (col >= 0) & (col < n_digits)
     onehot = jax.nn.one_hot(
-        jnp.clip(col, 0, n_digits - 1), n_digits, dtype=jnp.bool_
+        jnp.where(ok, col, n_digits), n_digits + 1, dtype=jnp.bool_
     )
-    return jnp.any(onehot, axis=0)
+    return jnp.any(onehot, axis=0)[:n_digits]
 
 
 def narrow_range(sorted_corpus, lo, hi, level: int, digit):

@@ -65,6 +65,26 @@ class TestValidDigitMask:
         np.testing.assert_array_equal(mask[0], [True, False, False, False, False])
 
 
+class TestOutOfRangeDigits:
+    def test_valid_digit_mask_excludes_unrepresentable(self):
+        """Tag digits >= the vocab (concat layouts) must not clip into slot
+        n_digits-1."""
+        corpus = build_prefix_index(
+            jnp.array([[0, 300, 1], [0, 4, 2], [1, 999, 0]], jnp.int32)
+        )
+        lo, hi = prefix_range(corpus, jnp.array([[0], [1]]))
+        mask = np.asarray(valid_digit_mask(corpus, lo, hi, 1, 5, cap=3))
+        # Prefix [0]: level-1 values {4, 300}; only 4 representable in K=5.
+        np.testing.assert_array_equal(mask[0], [False, False, False, False, True])
+        # Prefix [1]: only 999 -> nothing representable.
+        assert not mask[1].any()
+
+    def test_first_digit_mask_excludes_unrepresentable(self):
+        corpus = build_prefix_index(jnp.array([[7, 0], [2, 0]], jnp.int32))
+        mask = np.asarray(first_digit_mask(corpus, 4))
+        np.testing.assert_array_equal(mask, [False, False, True, False])
+
+
 class TestNarrowRange:
     def test_incremental_matches_direct(self):
         rng = np.random.RandomState(0)
