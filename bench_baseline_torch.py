@@ -100,9 +100,6 @@ class TorchHidVae(nn.Module):
             res = res - emb_st
         x_hat = self.decoder(sum(embs))
         recon = ((x_hat - x) ** 2).sum(-1)
-        # Uniqueness: pairwise collision penalty.
-        sem = torch.stack([torch.zeros(len(x), dtype=torch.long)] * self.n_layers, -1)
-        del sem
         return recon.mean() + q_loss.mean() + 0.15 * align / 3 + 0.55 * pred / 3
 
 

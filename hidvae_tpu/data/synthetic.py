@@ -77,7 +77,11 @@ def build_synthetic(
     # --- 95/5 item split ---
     item_is_train = rng.rand(n_items) >= 0.05
 
-    # --- user sequences: preference-cluster walks ---
+    # --- user sequences: personal item pools with revisits ---
+    # Each user walks a small personal pool drawn from a preferred level-0
+    # cluster, with occasional exploration. Revisit structure makes the
+    # next-item target genuinely learnable from the history (unlike pure
+    # cluster-uniform draws, whose exact-item eval ceiling is near chance).
     seq_users, seq_items, seq_fut, seq_is_train = [], [], [], []
     items_by_l0 = [np.nonzero(paths[:, 0] == c)[0] for c in range(n_l0)]
     for u in range(n_users):
@@ -85,11 +89,11 @@ def build_synthetic(
         pool = items_by_l0[pref]
         if len(pool) < min_seq_len + 2:
             pool = np.arange(n_items)
+        personal = rng.choice(pool, size=min(len(pool), 12), replace=False)
         length = rng.randint(min_seq_len, max_seq_len + 1)
-        # Mix preferred cluster with random exploration.
         seq = np.where(
-            rng.rand(length + 2) < 0.8,
-            rng.choice(pool, length + 2),
+            rng.rand(length + 2) < 0.85,
+            rng.choice(personal, length + 2),
             rng.randint(0, n_items, length + 2),
         )
         # Leave-one-out: train seq = items[:-2] with target items[-2]... the

@@ -181,11 +181,6 @@ def train(
             "rqvae_loss": out.rqvae_loss,
         }
 
-    def to_device(a):
-        a = jnp.asarray(a)
-        return jax.device_put(a, b_shard if a.shape[0] % n_data == 0 else r_shard)
-
-    train_iter = train_dataset.iter_batches(batch_size, np_rng)
     history = {k: [] for k in [
         "iterations", "total_loss", "reconstruction_loss", "rqvae_loss",
         "eval_iterations", "eval_total_loss", "rqvae_entropy",
@@ -195,24 +190,61 @@ def train(
     t_start = time.time()
     total_steps = iterations * gradient_accumulate_every
 
-    for it in range(start_iter, start_iter + total_steps):
-        batch = next(train_iter)
-        rng, step_rng = jax.random.split(rng)
-        state, m = train_step(state, to_device(batch.x), step_rng)
+    # Device-resident pipeline (see hidvae_tpu.train.device_data): the item
+    # corpus lives in HBM; each step samples its batch inside a scan-chunked
+    # jitted program.
+    from functools import partial
 
-        if it % log_every == 0 or it == start_iter + total_steps - 1:
-            mm = {k: float(np.asarray(v).mean()) for k, v in m.items()}
-            history["iterations"].append(it)
-            history["total_loss"].append(mm["loss"])
-            history["reconstruction_loss"].append(mm["reconstruction_loss"])
-            history["rqvae_loss"].append(mm["rqvae_loss"])
-            logger.info(
-                f"iter {it}: loss={mm['loss']:.4f} recon={mm['reconstruction_loss']:.4f} "
-                f"rq={mm['rqvae_loss']:.4f} p_unique={mm['p_unique_ids']:.4f} "
-                f"({(it - start_iter + 1) * batch_size / (time.time() - t_start):.0f} items/s)"
-            )
+    from hidvae_tpu.train.device_data import DeviceItemData
 
-        if do_eval and ((it + 1) % eval_every == 0 or it + 1 == start_iter + total_steps):
+    ddata = DeviceItemData(
+        x=jnp.asarray(train_dataset.item_features), tags_emb=None, tags_indices=None
+    )
+    chunk = max(1, min(log_every, total_steps))
+
+    def shard_dp(t):
+        if n_data <= 1 or t.shape[0] % n_data != 0:
+            return t
+        return jax.lax.with_sharding_constraint(t, b_shard)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_chunk(state, base_rng):
+        def body(carry, i):
+            r_sample, r_step = jax.random.split(jax.random.fold_in(base_rng, i))
+            x, _, _ = ddata.sample(r_sample, batch_size)
+            return train_step(carry, shard_dp(x), r_step)
+
+        return jax.lax.scan(body, state, jnp.arange(chunk))
+
+    it = start_iter
+    while it < start_iter + total_steps:
+        n_now = min(chunk, start_iter + total_steps - it)
+        rng, chunk_rng = jax.random.split(rng)
+        if n_now == chunk:
+            state, mstack = train_chunk(state, chunk_rng)
+        else:
+            for j in range(n_now):
+                r_s, r_t = jax.random.split(jax.random.fold_in(chunk_rng, j))
+                x, _, _ = ddata.sample(r_s, batch_size)
+                state, m = train_step(state, x, r_t)
+            mstack = jax.tree_util.tree_map(lambda v: v[None], m)
+        prev_it, it = it, it + n_now
+
+        mm = {k: float(np.asarray(v)[-1].mean()) for k, v in mstack.items()}
+        history["iterations"].append(it - 1)
+        history["total_loss"].append(mm["loss"])
+        history["reconstruction_loss"].append(mm["reconstruction_loss"])
+        history["rqvae_loss"].append(mm["rqvae_loss"])
+        logger.info(
+            f"iter {it - 1}: loss={mm['loss']:.4f} recon={mm['reconstruction_loss']:.4f} "
+            f"rq={mm['rqvae_loss']:.4f} p_unique={mm['p_unique_ids']:.4f} "
+            f"({(it - start_iter) * batch_size / (time.time() - t_start):.0f} items/s)"
+        )
+
+        def crossed(every):
+            return (prev_it // every) != (it // every) or it == start_iter + total_steps
+
+        if do_eval and crossed(eval_every):
             if eval_dataset is not None and len(eval_dataset) > 0:
                 sums, n = {}, 0
                 for bi, eb in enumerate(eval_dataset.iter_eval_batches(batch_size)):
@@ -246,7 +278,7 @@ def train(
             history["repetition_rate"].append(div["repetition_rate"])
             logger.info(f"diversity @ {it}: {div}")
 
-        if (it + 1) % save_model_every == 0 or it + 1 == start_iter + total_steps:
+        if crossed(save_model_every):
             payload = {
                 "step": state.step,
                 "params": state.params,
@@ -256,7 +288,7 @@ def train(
                 },
                 "metrics": {},
             }
-            saved_paths.append(save_checkpoint(save_dir, f"checkpoint_{it}", payload))
+            saved_paths.append(save_checkpoint(save_dir, f"checkpoint_{it - 1}", payload))
 
     if make_plots:
         try:
