@@ -104,14 +104,11 @@ def build_kuairand(
     # --- step 3: stratified max_videos sampling by level-1 tag (ref :463-469) ---
     if max_videos and len(videos) > max_videos:
         total = len(videos)
-        videos = (
-            videos.groupby(LEVEL_COLS[0], group_keys=False)
-            .apply(lambda g: g.sample(
-                min(len(g), max(1, int(max_videos * len(g) / total))),
-                random_state=random_seed,
-            ))
-            .reset_index(drop=True)
-        )
+        parts = []
+        for _, group in videos.groupby(LEVEL_COLS[0]):
+            k = min(len(group), max(1, int(max_videos * len(group) / total)))
+            parts.append(group.sample(k, random_state=random_seed))
+        videos = pd.concat(parts).reset_index(drop=True)
     videos = videos.drop_duplicates("video_id").reset_index(drop=True)
 
     # --- remap ids, build sequences (ref :234-386) ---

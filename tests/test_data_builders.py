@@ -166,6 +166,35 @@ class TestMovieLens:
         # Both train and eval rows exist (timestamp-quantile split).
         assert arrays.seq_is_train.any() and (~arrays.seq_is_train).any()
 
+    def test_build_ml32m(self, tmp_path):
+        import pandas as pd
+
+        raw = tmp_path / "raw"
+        raw.mkdir()
+        rng = np.random.RandomState(1)
+        pd.DataFrame({
+            "movieId": np.arange(1, 16),
+            "title": [f"Film {m} ({1990 + m})" for m in range(1, 16)],
+            "genres": [
+                "|".join(rng.choice(["Action", "Drama", "Sci-Fi"], 2, replace=False))
+                for _ in range(15)
+            ],
+        }).to_csv(raw / "movies.csv", index=False)
+        rows = []
+        for u in range(1, 13):
+            for t, m in enumerate(rng.choice(np.arange(1, 16), 8, replace=False)):
+                rows.append((u, m, rng.randint(1, 6), 2000000 + u * 50 + t))
+        pd.DataFrame(rows, columns=["userId", "movieId", "rating", "timestamp"]) \
+            .to_csv(raw / "ratings.csv", index=False)
+        arrays = build_movielens(str(tmp_path), RecDataset.ML_32M, max_seq_len=6)
+        assert arrays.seq_items.shape[1] == 6
+        assert len(arrays.seq_users) > 0
+        assert arrays.item_features.shape[0] <= 15
+
+    def test_missing_raw_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError, match="ML-1M"):
+            build_movielens(str(tmp_path), RecDataset.ML_1M)
+
 
 class TestKuaiRand:
     @pytest.fixture(scope="class")
@@ -208,6 +237,20 @@ class TestKuaiRand:
         # Videos with missing L3 get -1.
         assert (arrays.tags_indices[:, 2] == -1).any()
         assert len(arrays.seq_users) > 0
+
+    def test_stratified_max_videos(self, kuairand_raw):
+        arrays = build_kuairand(
+            kuairand_raw, min_user_interactions=5, max_seq_len=10, max_videos=12
+        )
+        n = arrays.item_features.shape[0]
+        assert n <= 14  # stratified per-group rounding can slightly exceed
+        # All level-1 strata survive the sampling.
+        assert len(np.unique(arrays.tags_indices[:, 0])) == 3
+
+    def test_min_interactions_filter(self, kuairand_raw):
+        many = build_kuairand(kuairand_raw, min_user_interactions=5, max_seq_len=10)
+        few = build_kuairand(kuairand_raw, min_user_interactions=26, max_seq_len=10)
+        assert len(np.unique(few.seq_users)) <= len(np.unique(many.seq_users))
 
 
 class TestTagCompletion:
