@@ -145,12 +145,22 @@ def make_optimizer(
 
 def save_checkpoint(save_dir: str, name: str, payload: dict):
     """Orbax checkpoint with the reference's logical contents
-    (ref train_rqvae.py:302-313 + quality fields train_hidvae.py:1145-1177)."""
+    (ref train_rqvae.py:302-313 — incl. the optimizer state — plus quality
+    fields train_hidvae.py:1145-1177 and the stage-2 scheduler position,
+    train_transformer.py:823-835; schedule counts live inside opt_state here).
+
+    Arrays are serialized through flax state-dicts so optax states (namedtuple
+    chains, MultiSteps accumulators) become pure nested dicts that Orbax can
+    restore without a target structure.
+    """
     import orbax.checkpoint as ocp
+    from flax import serialization
 
     path = os.path.abspath(os.path.join(save_dir, name))
     ckptr = ocp.StandardCheckpointer()
-    arrays = {k: v for k, v in payload.items() if k not in ("model_config", "metrics")}
+    arrays = serialization.to_state_dict(
+        {k: v for k, v in payload.items() if k not in ("model_config", "metrics")}
+    )
     ckptr.save(path, arrays, force=True)
     ckptr.wait_until_finished()
     meta = {k: payload[k] for k in ("model_config", "metrics") if k in payload}
@@ -168,11 +178,16 @@ def restore_checkpoint(path: str, example_payload: dict, *, lenient: bool = True
     fallback): entries missing from the checkpoint keep the example's values,
     extra checkpoint entries are dropped, and shape-mismatched leaves are
     skipped with a warning — so a stage-2 run can consume a stage-1 checkpoint
-    whose tag heads were rebuilt by the rare-tag remap.
+    whose tag heads were rebuilt by the rare-tag remap, and an old checkpoint
+    without `opt_state` still restores params.
+
+    The merge happens on flax state-dicts (pure nested string-keyed dicts) so
+    optax namedtuple states line up with Orbax's target-less raw restore.
     """
     import logging
 
     import orbax.checkpoint as ocp
+    from flax import serialization, traverse_util
 
     log = logging.getLogger("hidvae_tpu.checkpoint")
     arrays = {
@@ -182,31 +197,38 @@ def restore_checkpoint(path: str, example_payload: dict, *, lenient: bool = True
     abspath = os.path.abspath(path)
     if not lenient:
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(abspath, arrays)
+        restored = ckptr.restore(abspath, serialization.to_state_dict(arrays))
+        restored = serialization.from_state_dict(arrays, restored)
     else:
         with ocp.PyTreeCheckpointer() as ckptr:
             raw = ckptr.restore(abspath)  # structure as saved, no target
 
-        flat_raw = dict(jax.tree_util.tree_flatten_with_path(raw)[0])
-        flat_target, treedef = jax.tree_util.tree_flatten_with_path(arrays)
-        merged = []
-        for key_path, value in flat_target:
+        flat_raw = traverse_util.flatten_dict(raw)
+        flat_target = traverse_util.flatten_dict(
+            serialization.to_state_dict(arrays), keep_empty_nodes=True
+        )
+        merged = {}
+        for key_path, value in flat_target.items():
             src = flat_raw.get(key_path)
-            if src is None:
-                log.warning(f"checkpoint missing {jax.tree_util.keystr(key_path)}; "
-                            "keeping initialized value")
-                merged.append(value)
+            name = "/".join(map(str, key_path))
+            if value is traverse_util.empty_node:
+                merged[key_path] = value
+            elif src is None:
+                log.warning(f"checkpoint missing {name}; keeping initialized value")
+                merged[key_path] = value
             elif hasattr(value, "shape") and tuple(src.shape) != tuple(value.shape):
                 log.warning(
-                    f"checkpoint shape mismatch at {jax.tree_util.keystr(key_path)}: "
+                    f"checkpoint shape mismatch at {name}: "
                     f"{tuple(src.shape)} vs {tuple(value.shape)}; keeping initialized value"
                 )
-                merged.append(value)
+                merged[key_path] = value
             else:
-                merged.append(jnp.asarray(src).astype(getattr(value, "dtype", None))
-                              if hasattr(value, "dtype") else src)
-        restored = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(arrays), merged
+                merged[key_path] = (
+                    jnp.asarray(src).astype(getattr(value, "dtype", None))
+                    if hasattr(value, "dtype") else src
+                )
+        restored = serialization.from_state_dict(
+            arrays, traverse_util.unflatten_dict(merged)
         )
     meta_path = os.path.join(path, "meta.json")
     if os.path.exists(meta_path):

