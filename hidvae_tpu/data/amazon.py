@@ -193,8 +193,10 @@ def build_tag_vocabs(tag_matrix: List[List[str]]):
 
 
 def _sequences_to_arrays(seqs, max_seq_len: int):
-    users, items, fut, is_train = [], [], [], []
-    for sp, flag in (("train", True), ("eval", False)):
+    """Flatten the three-way leave-one-out split into padded arrays
+    (ref data/amazon.py:65-91 — incl. the TEST rows targeting items[-1])."""
+    users, items, fut, split_code = [], [], [], []
+    for sp, code in (("train", 0), ("eval", 1), ("test", 2)):
         for u, seq, f in zip(seqs[sp]["userId"], seqs[sp]["itemId"],
                              seqs[sp]["itemId_fut"]):
             padded = np.full(max_seq_len, -1, np.int32)
@@ -203,12 +205,13 @@ def _sequences_to_arrays(seqs, max_seq_len: int):
             users.append(u)
             items.append(padded)
             fut.append(f)
-            is_train.append(flag)
+            split_code.append(code)
+    split_code = np.array(split_code, np.int8)
     return (
         np.array(users, np.int32),
         np.stack(items),
         np.array(fut, np.int32),
-        np.array(is_train, bool),
+        split_code,
     )
 
 
@@ -252,7 +255,7 @@ def build_amazon(
     is_train = item_split_95_5(len(items))
 
     seqs = read_sequences(raw_dir, split, max_seq_len)
-    users, item_mat, fut, seq_is_train = _sequences_to_arrays(seqs, max_seq_len)
+    users, item_mat, fut, seq_split = _sequences_to_arrays(seqs, max_seq_len)
 
     tags_emb = tags_indices = None
     if with_tags:
@@ -276,7 +279,8 @@ def build_amazon(
         seq_users=users,
         seq_items=item_mat,
         seq_fut=fut,
-        seq_is_train=seq_is_train,
+        seq_is_train=seq_split == 0,
         tags_emb=None if tags_emb is None else np.asarray(tags_emb, np.float32),
         tags_indices=tags_indices,
+        seq_split=seq_split,
     )

@@ -119,26 +119,26 @@ def build_kuairand(
     logs["uid"] = logs["user_id"].map(user_map)
     logs = logs.sort_values(["uid", "time_ms"])
 
-    users, seqs, futs, is_train_rows = [], [], [], []
+    users, seqs, futs, split_rows = [], [], [], []
     for uid, group in logs.groupby("uid"):
         items = group["itemId"].tolist()
         if len(items) < 3:
             continue
-        train_items = items[:-2][-max_seq_len:]
-        padded = np.full(max_seq_len, -1, np.int32)
-        padded[: len(train_items)] = train_items
-        users.append(uid)
-        seqs.append(padded)
-        futs.append(items[-2])
-        is_train_rows.append(True)
+        # Leave-one-out three-way split (ref data/amazon.py:65-91 semantics,
+        # mirrored by kuairand_beauty_format.py:234-386): train/eval target
+        # items[-2] over items[:-2]; TEST targets items[-1] over items[:-1].
+        def emit(hist, fut, code):
+            padded = np.full(max_seq_len, -1, np.int32)
+            trimmed = hist[-max_seq_len:]
+            padded[: len(trimmed)] = trimmed
+            users.append(uid)
+            seqs.append(padded)
+            futs.append(fut)
+            split_rows.append(code)
 
-        eval_items = items[-(max_seq_len + 1):-1][-max_seq_len:]
-        padded = np.full(max_seq_len, -1, np.int32)
-        padded[: len(eval_items)] = eval_items
-        users.append(uid)
-        seqs.append(padded)
-        futs.append(items[-1])
-        is_train_rows.append(False)
+        emit(items[:-2], items[-2], 0)
+        emit(items[:-2], items[-2], 1)
+        emit(items[:-1], items[-1], 2)
 
     # --- features + 3-level tags (ref :507-542, 556-615) ---
     item_emb = encode_text_feature(
@@ -179,7 +179,8 @@ def build_kuairand(
         seq_users=np.array(users, np.int32),
         seq_items=np.stack(seqs),
         seq_fut=np.array(futs, np.int32),
-        seq_is_train=np.array(is_train_rows, bool),
+        seq_is_train=np.array(split_rows, np.int8) == 0,
         tags_emb=np.asarray(tags_emb, np.float32),
         tags_indices=tags_indices,
+        seq_split=np.array(split_rows, np.int8),
     )

@@ -81,6 +81,18 @@ def _user_history_windows(
     )
 
 
+def _user_table(users: pd.DataFrame, ratings: pd.DataFrame):
+    """ML-1M user features (ref data/ml1m.py:11,61-84): users with >= 5
+    ratings; features = [age-bucket index, gender one-hot col 0, occupation
+    index] as floats, keyed by raw userId."""
+    users = _remove_low_occurrence(ratings, users, "userId")
+    age = users["age"].str.get_dummies().values.argmax(axis=1)[:, None]
+    gender = users["gender"].str.get_dummies().values[:, :1]
+    occupation = users["occupation"].str.get_dummies().values.argmax(axis=1)[:, None]
+    feats = np.concatenate([age, gender, occupation], axis=1).astype(np.float32)
+    return feats, users["userId"].to_numpy().astype(np.int32)
+
+
 def _build(
     movies: pd.DataFrame,
     ratings: pd.DataFrame,
@@ -88,6 +100,7 @@ def _build(
     window_size: int,
     stride: int,
     cache_dir: Optional[str],
+    users: Optional[pd.DataFrame] = None,
 ) -> ProcessedArrays:
     movies = _remove_low_occurrence(ratings, movies, "movieId")
     movie_mapping = {idx: i for i, idx in enumerate(movies["movieId"])}
@@ -101,7 +114,7 @@ def _build(
     ratings = ratings[ratings["movieId"].isin(movie_mapping)].copy()
     ratings["itemId"] = ratings["movieId"].map(movie_mapping)
 
-    users, seqs, futs, is_train = _user_history_windows(
+    seq_users, seqs, futs, is_train = _user_history_windows(
         ratings, window_size, stride
     )
 
@@ -115,13 +128,19 @@ def _build(
     except ImportError:  # pragma: no cover
         item_is_train = np.random.RandomState(42).rand(len(x)) > 0.05
 
+    user_features = user_feature_ids = None
+    if users is not None:
+        user_features, user_feature_ids = _user_table(users, ratings)
+
     return ProcessedArrays(
         item_features=x,
         item_is_train=item_is_train,
-        seq_users=users,
+        seq_users=seq_users,
         seq_items=seqs,
         seq_fut=futs,
         seq_is_train=is_train,
+        user_features=user_features,
+        user_feature_ids=user_feature_ids,
     )
 
 
@@ -151,8 +170,18 @@ def build_movielens(
             names=["userId", "movieId", "rating", "timestamp"],
             encoding="ISO-8859-1", engine="python",
         )
+        users = None
+        users_path = os.path.join(raw, "users.dat")
+        if os.path.exists(users_path):
+            # USER_HEADERS parity (ref data/ml1m.py:11, read at :62-71).
+            users = pd.read_csv(
+                users_path, sep="::", header=None,
+                names=["userId", "gender", "age", "occupation", "zipCode"],
+                dtype=str, encoding="ISO-8859-1", engine="python",
+            )
+            users["userId"] = users["userId"].astype(int)
         return _build(movies, ratings, window_size=max_seq_len, stride=1,
-                      cache_dir=cache)
+                      cache_dir=cache, users=users)
 
     if dataset == RecDataset.ML_32M:
         movies_path = os.path.join(raw, "movies.csv")

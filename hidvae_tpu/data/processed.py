@@ -51,9 +51,24 @@ class ProcessedArrays:
     seq_users: np.ndarray               # [n_seq] int32
     seq_items: np.ndarray               # [n_seq, max_len] int32, -1 padded
     seq_fut: np.ndarray                 # [n_seq] int32 target item (eval/test)
-    seq_is_train: np.ndarray            # [n_seq] bool
+    seq_is_train: np.ndarray            # [n_seq] bool (kept for compat)
     tags_emb: Optional[np.ndarray] = None      # [n_items, L, tag_dim] float32
     tags_indices: Optional[np.ndarray] = None  # [n_items, L] int32 (-1 missing)
+    # Three-way sequence split (ref data/amazon.py:65-91: train target
+    # items[-2] over items[:-2]; eval target items[-2]; TEST target items[-1]).
+    # 0=train, 1=eval, 2=test. Derived from seq_is_train when absent (old
+    # files have no test rows).
+    seq_split: Optional[np.ndarray] = None     # [n_seq] int8
+    # Optional user-side table (ref data/ml1m.py:11 USER_HEADERS -> age /
+    # gender / occupation features keyed by raw user id).
+    user_features: Optional[np.ndarray] = None    # [n_users, F_u] float32
+    user_feature_ids: Optional[np.ndarray] = None  # [n_users] int32 raw ids
+
+    SPLIT_CODES = {"train": 0, "eval": 1, "test": 2}
+
+    def __post_init__(self):
+        if self.seq_split is None:
+            self.seq_split = np.where(self.seq_is_train, 0, 1).astype(np.int8)
 
     def save(self, path: str):
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -64,10 +79,14 @@ class ProcessedArrays:
             "seq_items": self.seq_items,
             "seq_fut": self.seq_fut,
             "seq_is_train": self.seq_is_train,
+            "seq_split": self.seq_split,
         }
         if self.tags_emb is not None:
             data["tags_emb"] = self.tags_emb
             data["tags_indices"] = self.tags_indices
+        if self.user_features is not None:
+            data["user_features"] = self.user_features
+            data["user_feature_ids"] = self.user_feature_ids
         np.savez_compressed(path, **data)
 
     @classmethod
@@ -82,6 +101,11 @@ class ProcessedArrays:
             seq_is_train=z["seq_is_train"],
             tags_emb=z["tags_emb"] if "tags_emb" in z else None,
             tags_indices=z["tags_indices"] if "tags_indices" in z else None,
+            seq_split=z["seq_split"] if "seq_split" in z else None,
+            user_features=z["user_features"] if "user_features" in z else None,
+            user_feature_ids=(
+                z["user_feature_ids"] if "user_feature_ids" in z else None
+            ),
         )
 
 
@@ -214,14 +238,21 @@ class SeqData:
         split: str = "",
         force_process: bool = False,
         arrays: Optional[ProcessedArrays] = None,
+        seq_split: Optional[str] = None,
     ):
+        """`seq_split` in {"train","eval","test"} selects the three-way
+        sequence split (ref data/amazon.py:65-91); when None, falls back to
+        the legacy is_train flag (train vs eval)."""
         self.dataset = dataset
         self.subsample = subsample
         arr = arrays if arrays is not None else load_or_build(
             root, dataset, split, force_process
         )
         self._arrays = arr
-        sel = arr.seq_is_train if is_train else ~arr.seq_is_train
+        if seq_split is not None:
+            sel = arr.seq_split == ProcessedArrays.SPLIT_CODES[seq_split]
+        else:
+            sel = (arr.seq_split == 0) if is_train else (arr.seq_split == 1)
         idx = np.nonzero(sel)[0]
         self.users = arr.seq_users[idx]
         self.items = arr.seq_items[idx]

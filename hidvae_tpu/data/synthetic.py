@@ -82,8 +82,18 @@ def build_synthetic(
     # cluster, with occasional exploration. Revisit structure makes the
     # next-item target genuinely learnable from the history (unlike pure
     # cluster-uniform draws, whose exact-item eval ceiling is near chance).
-    seq_users, seq_items, seq_fut, seq_is_train = [], [], [], []
+    seq_users, seq_items, seq_fut, seq_split = [], [], [], []
     items_by_l0 = [np.nonzero(paths[:, 0] == c)[0] for c in range(n_l0)]
+
+    def emit(u, hist, fut, code):
+        padded = np.full(max_seq_len, -1, np.int32)
+        trimmed = hist[-max_seq_len:]
+        padded[: len(trimmed)] = trimmed
+        seq_users.append(u)
+        seq_items.append(padded)
+        seq_fut.append(fut)
+        seq_split.append(code)
+
     for u in range(n_users):
         pref = rng.randint(0, n_l0)
         pool = items_by_l0[pref]
@@ -96,32 +106,22 @@ def build_synthetic(
             rng.choice(personal, length + 2),
             rng.randint(0, n_items, length + 2),
         )
-        # Leave-one-out: train seq = items[:-2] with target items[-2]... the
-        # reference uses items[:-2] train / items[-2] eval / items[-1] test
-        # (data/amazon.py:65-91); we emit train + eval rows.
-        hist_train = seq[:-2]
-        padded_train = np.full(max_seq_len, -1, np.int32)
-        padded_train[: len(hist_train)] = hist_train[:max_seq_len]
-        seq_users.append(u)
-        seq_items.append(padded_train)
-        seq_fut.append(seq[-2])
-        seq_is_train.append(True)
+        # Leave-one-out (ref data/amazon.py:65-91): train = items[:-2] with
+        # target items[-2]; eval = same history, target items[-2]; test =
+        # items[:-1] history, target items[-1].
+        emit(u, seq[:-2], seq[-2], 0)
+        emit(u, seq[:-2], seq[-2], 1)
+        emit(u, seq[:-1], seq[-1], 2)
 
-        hist_eval = seq[:-1]
-        padded_eval = np.full(max_seq_len, -1, np.int32)
-        padded_eval[: min(len(hist_eval), max_seq_len)] = hist_eval[:max_seq_len]
-        seq_users.append(u)
-        seq_items.append(padded_eval)
-        seq_fut.append(seq[-1])
-        seq_is_train.append(False)
-
+    seq_split = np.array(seq_split, np.int8)
     return ProcessedArrays(
         item_features=feats,
         item_is_train=item_is_train,
         seq_users=np.array(seq_users, np.int32),
         seq_items=np.stack(seq_items),
         seq_fut=np.array(seq_fut, np.int32),
-        seq_is_train=np.array(seq_is_train, bool),
+        seq_is_train=seq_split == 0,
         tags_emb=tags_emb,
         tags_indices=tags_indices,
+        seq_split=seq_split,
     )

@@ -88,6 +88,7 @@ class TagPredictor(nn.Module):
     dropout_rate: float = 0.2
     use_batch_norm: bool = True  # maps to LayerNorm inside (as the reference does)
     layer_idx: int = 0
+    dtype: jnp.dtype = jnp.float32  # matmul compute dtype (AMP); norms stay fp32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -96,6 +97,9 @@ class TagPredictor(nn.Module):
         mid = int(hidden * 0.9)
         drop = min(0.55, self.dropout_rate + self.layer_idx * 0.075)
 
+        def dense(features, name):
+            return nn.Dense(features, name=name, dtype=self.dtype)
+
         def maybe_norm(h, name):
             return nn.LayerNorm(name=name)(h) if self.use_batch_norm else h
 
@@ -103,43 +107,44 @@ class TagPredictor(nn.Module):
             return nn.Dropout(rate, deterministic=not train)(h)
 
         # Attention gate (ref :132-139).
-        a = nn.Dense(d // 4, name="attn_0")(x)
+        a = dense(d // 4, "attn_0")(x)
         a = nn.relu(a)
-        a = nn.Dense(d // 2, name="attn_1")(a)
+        a = dense(d // 2, "attn_1")(a)
         a = nn.gelu(a)
-        a = nn.Dense(d, name="attn_2")(a)
+        a = dense(d, "attn_2")(a)
         gate = nn.sigmoid(a)
         h = x * gate
         if self.layer_idx > 0:  # feature normalization for deeper layers (ref :194)
             h = l2norm(h, axis=-1)
 
         # Feature extraction (ref :143-148).
-        h = nn.Dense(hidden, name="feat")(h)
+        h = dense(hidden, "feat")(h)
         h = maybe_norm(h, "feat_ln")
         h = nn.relu(h)
         h = dropout(h, drop)
 
         # Residual blocks (ref :154-175).
         for blk in range(2):
-            r = nn.Dense(mid, name=f"res{blk}_0")(h)
+            r = dense(mid, f"res{blk}_0")(h)
             r = maybe_norm(r, f"res{blk}_ln0")
             r = nn.relu(r)
             r = dropout(r, drop)
-            r = nn.Dense(hidden, name=f"res{blk}_1")(r)
+            r = dense(hidden, f"res{blk}_1")(r)
             r = nn.relu(r)
             r = dropout(r, drop)
             r = maybe_norm(r, f"res{blk}_ln1")
             h = h + r
 
         # Classifier (ref :179-188).
-        c = nn.Dense(mid, name="cls_0")(h)
+        c = dense(mid, "cls_0")(h)
         c = maybe_norm(c, "cls_ln")
         c = nn.relu(c)
         c = dropout(c, drop)
-        c = nn.Dense(mid // 2, name="cls_1")(c)
+        c = dense(mid // 2, "cls_1")(c)
         c = nn.relu(c)
         c = dropout(c, drop * 0.5)
-        return nn.Dense(self.num_classes, name="cls_out")(c)
+        # Logits in fp32: the focal/CE losses are precision-sensitive.
+        return dense(self.num_classes, "cls_out")(c).astype(jnp.float32)
 
 
 class TagProjector(nn.Module):
@@ -150,18 +155,20 @@ class TagProjector(nn.Module):
     dropout_rate: float = 0.2
     use_batch_norm: bool = True
     use_layer_norm: bool = False  # tied to codebook_normalize in the reference
+    dtype: jnp.dtype = jnp.float32  # matmul compute dtype (AMP); norms stay fp32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = nn.Dense(self.hidden_dim, name="dense_0")(x)
+        h = nn.Dense(self.hidden_dim, name="dense_0", dtype=self.dtype)(x)
         if self.use_batch_norm:
             h = nn.BatchNorm(use_running_average=not train, name="bn")(h)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
-        h = nn.Dense(self.out_dim, name="dense_1")(h)
+        h = nn.Dense(self.out_dim, name="dense_1", dtype=self.dtype)(h)
         if self.use_layer_norm:
             h = nn.LayerNorm(name="ln")(h)
-        return h
+        # Projected tag embedding feeds the InfoNCE alignment loss in fp32.
+        return h.astype(jnp.float32)
 
 
 class HRqVae(nn.Module):
@@ -195,6 +202,10 @@ class HRqVae(nn.Module):
     label_smoothing_alpha: float = 0.1
     use_mixup: bool = True
     mixup_alpha: float = 0.2
+    # AMP compute dtype for the MLP/tag-head matmuls (ref train_hidvae.py:77-80
+    # Accelerate autocast). The quantizer distance/argmin path and all losses
+    # stay fp32 so train/eval/Pallas-kernel ID assignments agree exactly.
+    dtype: jnp.dtype = jnp.float32
 
     @property
     def resolved_tag_class_counts(self):
@@ -230,6 +241,7 @@ class HRqVae(nn.Module):
                 dropout_rate=self.dropout_rate,
                 use_batch_norm=self.use_batch_norm,
                 layer_idx=i,
+                dtype=self.dtype,
                 name=f"tag_predictor_{i}",
             )
             for i in range(self.n_layers)
@@ -241,6 +253,7 @@ class HRqVae(nn.Module):
                 dropout_rate=self.dropout_rate,
                 use_batch_norm=self.use_batch_norm,
                 use_layer_norm=self.codebook_normalize,
+                dtype=self.dtype,
                 name=f"tag_projector_{i}",
             )
             for i in range(self.n_layers)
@@ -249,17 +262,21 @@ class HRqVae(nn.Module):
             hidden_dims=self.hidden_dims,
             out_dim=self.embed_dim,
             normalize=self.codebook_normalize,
+            dtype=self.dtype,
             name="encoder",
         )
         self.decoder = MLP(
             hidden_dims=list(self.hidden_dims)[::-1],
             out_dim=self.input_dim,
             normalize=True,
+            dtype=self.dtype,
             name="decoder",
         )
 
     def encode(self, x):
-        return self.encoder(x)
+        # fp32 into the quantizer: the distance argmin must agree between
+        # train / eval / the Pallas corpus-sweep kernel.
+        return self.encoder(x).astype(jnp.float32)
 
     def decode(self, x):
         return self.decoder(x)

@@ -44,5 +44,7 @@ class MLP(nn.Module):
                 if self.dropout > 0:
                     x = nn.Dropout(self.dropout, deterministic=not train)(x)
         if self.normalize:
-            x = l2norm(x, axis=-1)
+            # Normalize in fp32 regardless of compute dtype: the quantizer's
+            # distance argmin downstream is precision-sensitive.
+            x = l2norm(x.astype(jnp.float32), axis=-1)
         return x

@@ -265,7 +265,19 @@ class EncoderDecoderRetrievalModel(nn.Module):
                     if prefix_caps is not None:
                         cap = int(prefix_caps[i - 1])
                     else:
+                        # Heuristic fallback only: if the corpus has a prefix
+                        # with more than `cap` rows, valid continuations can
+                        # be silently masked out. Trainers pass exact caps
+                        # (tokenizer.prefix_caps); warn loudly at trace time.
+                        import warnings
+
                         cap = max(256, 4 * (n_corpus // max(kk ** i, 1)))
+                        warnings.warn(
+                            "generate_next_sem_id called without prefix_caps; "
+                            f"using heuristic cap {cap} at digit {i} — pass "
+                            "tokenizer.prefix_caps for exact constrained decoding",
+                            stacklevel=2,
+                        )
                     cap = min(max(cap, 8), n_corpus)
                     valid = valid_digit_mask(
                         prefix_index, lo.reshape(-1), hi.reshape(-1), i, kk, cap

@@ -71,6 +71,9 @@ class RqVae(nn.Module):
     n_layers: int = 3
     commitment_weight: float = 0.25
     n_cat_features: int = 18
+    # AMP compute dtype for the encoder/decoder matmuls (ref train_rqvae.py
+    # amp/mixed_precision_type); quantizer + losses stay fp32.
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.layers = [
@@ -91,17 +94,20 @@ class RqVae(nn.Module):
             hidden_dims=self.hidden_dims,
             out_dim=self.embed_dim,
             normalize=self.codebook_normalize,
+            dtype=self.dtype,
             name="encoder",
         )
         self.decoder = MLP(
             hidden_dims=list(self.hidden_dims)[::-1],
             out_dim=self.input_dim,
             normalize=True,
+            dtype=self.dtype,
             name="decoder",
         )
 
     def encode(self, x):
-        return self.encoder(x)
+        # fp32 into the quantizer (argmin agreement across train/eval/kernel).
+        return self.encoder(x).astype(jnp.float32)
 
     def decode(self, x):
         return self.decoder(x)

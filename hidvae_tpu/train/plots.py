@@ -79,7 +79,8 @@ def plot_rqvae_history(history: dict, out_dir: str):
 
 
 def plot_transformer_history(history: dict, out_dir: str):
-    """Stage-2 curves (ref MetricsTracker, train_transformer.py:40-67)."""
+    """Stage-2 curves (ref MetricsTracker, train_transformer.py:40-67,
+    839-844): train/eval losses plus full-eval h@K / NDCG@K metric curves."""
     os.makedirs(out_dir, exist_ok=True)
     xs = history.get("iterations", [])
     if not xs:
@@ -91,4 +92,31 @@ def plot_transformer_history(history: dict, out_dir: str):
         _plot_series(axes[1], exs, history["eval_loss"], "eval loss")
     fig.tight_layout()
     fig.savefig(os.path.join(out_dir, "losses.png"), dpi=100)
+    plt.close(fig)
+
+    # Full-eval metric curves (ref MetricsTracker.plot_metrics).
+    fxs = history.get("full_eval_iterations", [])
+    fms = history.get("full_eval_metrics", [])
+    if not fxs or not fms:
+        return
+    fig, axes = plt.subplots(1, 2, figsize=(14, 5))
+    last_dim = max(
+        (int(k.rsplit(":", 1)[1]) for k in fms[0] if "_slice_:" in k),
+        default=0,
+    )
+    for prefix, ax, title in (
+        ("h@", axes[0], "hit rate (full-tuple slice)"),
+        ("ndcg@", axes[1], "NDCG (full-tuple slice)"),
+    ):
+        for k_at in (1, 5, 10):
+            key = f"{prefix}{k_at}_slice_:{last_dim}"
+            series = [m.get(key) for m in fms]
+            if any(v is not None for v in series):
+                ax.plot(fxs, series, marker="o", label=key)
+        ax.set_title(title)
+        ax.set_xlabel("iteration")
+        ax.grid(True, alpha=0.3)
+        ax.legend()
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "eval_metrics.png"), dpi=100)
     plt.close(fig)

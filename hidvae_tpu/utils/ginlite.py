@@ -121,13 +121,37 @@ def parse_gin_file(path: str) -> Dict[str, Dict[str, Any]]:
     return scopes
 
 
-def bind_to_kwargs(config: Dict[str, Dict[str, Any]], scope: str, fn) -> Dict[str, Any]:
-    """Filter a scope's bindings down to fn's keyword parameters."""
+def bind_to_kwargs(
+    config: Dict[str, Dict[str, Any]],
+    scope: str,
+    fn,
+    *,
+    strict: bool = True,
+) -> Dict[str, Any]:
+    """Bind a scope's parameters to fn's keyword parameters.
+
+    Unknown bindings RAISE by default — real gin-config errors on bindings
+    that match no configurable parameter (behind ref modules/utils.py:58-62),
+    and a typo'd hyperparameter silently training with the default is exactly
+    the failure that must not happen. `strict=False` downgrades to a loud
+    warning (for forward-compat parsing of configs aimed at newer surfaces).
+    """
     import inspect
+    import logging
 
     params = inspect.signature(fn).parameters
-    bound = {}
+    bound, unknown = {}, []
     for k, v in config.get(scope, {}).items():
         if k in params:
             bound[k] = v
+        else:
+            unknown.append(k)
+    if unknown:
+        msg = (
+            f"Unknown gin binding(s) for {scope!r}: {sorted(unknown)} — "
+            f"not parameters of {getattr(fn, '__qualname__', fn)}"
+        )
+        if strict:
+            raise ValueError(msg)
+        logging.getLogger("hidvae_tpu.ginlite").warning(msg)
     return bound

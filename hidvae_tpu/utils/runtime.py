@@ -42,7 +42,18 @@ def configure_runtime():
         pass
 
     if os.environ.get("HIDVAE_DISTRIBUTED") == "1":
-        jax.distributed.initialize()
+        # Auto-detection works on TPU pods; elsewhere (tests, DCN clusters
+        # without a detector) the coordinator triple comes from env
+        # (HIDVAE_COORDINATOR_ADDRESS / HIDVAE_NUM_PROCESSES / HIDVAE_PROCESS_ID).
+        kwargs = {}
+        addr = os.environ.get("HIDVAE_COORDINATOR_ADDRESS")
+        if addr:
+            kwargs = dict(
+                coordinator_address=addr,
+                num_processes=int(os.environ.get("HIDVAE_NUM_PROCESSES", "1")),
+                process_id=int(os.environ.get("HIDVAE_PROCESS_ID", "0")),
+            )
+        jax.distributed.initialize(**kwargs)
         logger.info(
             f"jax.distributed initialized: process {jax.process_index()}"
             f"/{jax.process_count()}"

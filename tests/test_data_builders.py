@@ -89,8 +89,9 @@ class TestAmazonBuilder:
         assert arrays.tags_indices.shape == (30, 5)
         assert arrays.tags_emb.shape[:2] == (30, 5)
         assert (arrays.tags_indices >= 0).all()
-        # Train + eval sequence rows, 2 per user.
-        assert len(arrays.seq_users) == 20
+        # Train + eval + test sequence rows, 3 per user (ref amazon.py:65-91).
+        assert len(arrays.seq_users) == 30
+        assert (np.bincount(arrays.seq_split) == [10, 10, 10]).all()
         assert arrays.seq_items.shape[1] == 20
         # Tag vocab file persisted.
         assert os.path.exists(os.path.join(amazon_raw, "processed", "tag_index_beauty.json"))
@@ -154,6 +155,11 @@ class TestMovieLens:
                 movies = rng.choice(np.arange(1, 21), 10, replace=False)
                 for t, m in enumerate(movies):
                     f.write(f"{u}::{m}::{rng.randint(1, 6)}::{1000000 + u * 100 + t}\n")
+        with open(raw / "users.dat", "w") as f:
+            for u in range(1, 16):
+                gender = "M" if u % 2 else "F"
+                age = [1, 18, 25, 35, 45, 50, 56][u % 7]
+                f.write(f"{u}::{gender}::{age}::{u % 21}::0{u:04d}\n")
         return str(root)
 
     def test_build_ml1m(self, ml1m_raw):
@@ -165,6 +171,12 @@ class TestMovieLens:
         assert (arrays.seq_fut >= 0).all()
         # Both train and eval rows exist (timestamp-quantile split).
         assert arrays.seq_is_train.any() and (~arrays.seq_is_train).any()
+        # users.dat parsed into [age, gender, occupation] features
+        # (ref data/ml1m.py:11, 61-84).
+        assert arrays.user_features is not None
+        assert arrays.user_features.shape[1] == 3
+        assert len(arrays.user_feature_ids) == arrays.user_features.shape[0]
+        assert set(np.unique(arrays.user_features[:, 1])) <= {0.0, 1.0}
 
     def test_build_ml32m(self, tmp_path):
         import pandas as pd

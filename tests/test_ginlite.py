@@ -57,7 +57,9 @@ train.ds2 = %QuantizeForwardMode.GUMBEL_SOFTMAX
         with pytest.raises(ValueError, match="Cannot parse gin line"):
             parse_gin_file(write(tmp_path, "train.iterations=\n"))
 
-    def test_bind_filters_unknown_params(self, tmp_path):
+    def test_bind_unknown_params_strict(self, tmp_path):
+        """Unknown bindings raise (gin-config parity, ref modules/utils.py:58-62);
+        strict=False downgrades to a warning and filters."""
         cfg = parse_gin_file(write(tmp_path, """
 train.a = 1
 train.nonexistent_param_xyz = 2
@@ -66,7 +68,9 @@ train.nonexistent_param_xyz = 2
         def fn(a=0):
             return a
 
-        assert bind_to_kwargs(cfg, "train", fn) == {"a": 1}
+        with pytest.raises(ValueError, match="nonexistent_param_xyz"):
+            bind_to_kwargs(cfg, "train", fn)
+        assert bind_to_kwargs(cfg, "train", fn, strict=False) == {"a": 1}
 
 
 class TestLLMPoolLocal:

@@ -1,5 +1,7 @@
 """Multi-chip emulation tests on the 8-device virtual CPU mesh."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -110,3 +112,42 @@ class TestGraftEntry:
         from __graft_entry__ import dryrun_multichip
 
         dryrun_multichip(n)
+
+
+class TestDistributedInit:
+    def test_single_process_distributed_init(self):
+        """HIDVAE_DISTRIBUTED=1 drives jax.distributed.initialize (the
+        reference's multi-node Accelerate surface, SURVEY §5.8); exercised in
+        single-process form in a subprocess so this process's runtime is
+        untouched."""
+        import socket
+        import subprocess
+        import sys
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            HIDVAE_DISTRIBUTED="1",
+            HIDVAE_COORDINATOR_ADDRESS=f"localhost:{port}",
+            HIDVAE_NUM_PROCESSES="1",
+            HIDVAE_PROCESS_ID="0",
+        )
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        code = (
+            "import jax, jax.numpy as jnp\n"
+            "from hidvae_tpu.utils.runtime import configure_runtime\n"
+            "configure_runtime()\n"
+            "assert jax.process_count() == 1, jax.process_count()\n"
+            "out = jax.jit(lambda x: jnp.sum(x))(jnp.ones(8))\n"
+            "print('DIST_OK', float(out), jax.process_index())\n"
+        )
+        res = subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True,
+            text=True, timeout=240,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        assert "DIST_OK 8.0 0" in res.stdout

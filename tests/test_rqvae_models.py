@@ -202,3 +202,54 @@ class TestHRqVae:
         # contains one factor of w_u.
         residual = float(out.loss) - float(out.reconstruction_loss) - float(out.rqvae_loss)
         np.testing.assert_allclose(residual, 2.0 * float(out.sem_id_uniqueness_loss), rtol=1e-5)
+
+
+class TestMixedPrecision:
+    """Stage-1 AMP: bf16 matmul compute, fp32 params/quantizer/losses
+    (ref train_hidvae.py:77-80, autocast at :702)."""
+
+    def test_hrqvae_bf16_forward_backward(self):
+        model = make_hrqvae(dtype=jnp.bfloat16)
+        x = jax.random.normal(jax.random.key(10), (B, F))
+        te = jax.random.normal(jax.random.key(11), (B, L, 24))
+        ti = jnp.zeros((B, L), jnp.int32)
+        variables = model.init(rngs(), x, te, ti, 0.2, train=True)
+        # Params stay fp32 under AMP.
+        for leaf in jax.tree_util.tree_leaves(variables["params"]):
+            assert leaf.dtype == jnp.float32, leaf.dtype
+
+        def loss_fn(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": variables.get("batch_stats", {})},
+                x, te, ti, 0.2, train=True, rngs=rngs(), mutable=["batch_stats"],
+            )
+            return out.loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        assert loss.dtype == jnp.float32
+        assert np.isfinite(float(loss))
+        for leaf in jax.tree_util.tree_leaves(grads):
+            assert np.isfinite(np.asarray(leaf, np.float32)).all()
+
+    def test_bf16_ids_match_tokenizer_path(self):
+        """The quantizer runs fp32 even under AMP, so eval IDs must be
+        identical between direct apply and the corpus-sweep path."""
+        from hidvae_tpu.tokenizer.h_semids import HSemanticIdTokenizer
+
+        model = make_hrqvae(dtype=jnp.bfloat16)
+        x = jax.random.normal(jax.random.key(12), (B, F))
+        te = jax.random.normal(jax.random.key(13), (B, L, 24))
+        ti = jnp.zeros((B, L), jnp.int32)
+        variables = model.init(rngs(), x, te, ti, 0.2, train=True)
+        direct = model.apply(
+            variables,
+            model.apply(variables, x, method=HRqVae.encode),
+            gumbel_t=0.001, train=False,
+            method=HRqVae.get_semantic_ids,
+        ).sem_ids
+        tok = HSemanticIdTokenizer(
+            model, variables, n_layers=L, codebook_size=K,
+            tag_class_counts=list(TAG_COUNTS),
+        )
+        corpus = tok.precompute_corpus_ids(np.asarray(x))
+        np.testing.assert_array_equal(np.asarray(direct), np.asarray(corpus)[:, :L])

@@ -58,6 +58,37 @@ class TestData:
         sub = seq.batch(np.arange(16), np.random.RandomState(1))
         assert (np.asarray(base.ids_fut) != np.asarray(sub.ids_fut)).any()
 
+    def test_three_way_sequence_split(self, dataset_root):
+        """Leave-one-out three-way split (ref data/amazon.py:65-91): eval
+        targets items[-2]; TEST targets items[-1] over one-longer histories."""
+        train = SeqData(dataset_root, RecDataset.SYNTHETIC, seq_split="train")
+        evald = SeqData(dataset_root, RecDataset.SYNTHETIC, seq_split="eval")
+        test = SeqData(dataset_root, RecDataset.SYNTHETIC, seq_split="test")
+        assert len(train) == len(evald) == len(test) == TINY["n_users"]
+        # Legacy flag selects train/eval, never test rows.
+        assert len(SeqData(dataset_root, RecDataset.SYNTHETIC, is_train=False)) \
+            == len(evald)
+        # Test histories contain one more item (the eval target) per user.
+        ev_len = (evald.items >= 0).sum(1)
+        te_len = (test.items >= 0).sum(1)
+        assert (te_len >= ev_len).all() and (te_len > ev_len).any()
+        # The eval target is the last history item of the test row.
+        last = test.items[np.arange(len(test)), te_len - 1]
+        np.testing.assert_array_equal(last, evald.fut)
+
+    def test_seq_split_roundtrips_npz(self, dataset_root, tmp_path):
+        from hidvae_tpu.data.processed import ProcessedArrays
+
+        arrays = build_synthetic(**TINY)
+        p = str(tmp_path / "roundtrip.npz")
+        arrays.save(p)
+        loaded = ProcessedArrays.load(p)
+        np.testing.assert_array_equal(loaded.seq_split, arrays.seq_split)
+        # Old files without seq_split derive it from seq_is_train.
+        loaded.seq_split = None
+        loaded.__post_init__()
+        assert set(np.unique(loaded.seq_split)) <= {0, 1, 2}
+
 
 class TestHidvaeTrainer:
     def test_short_run(self, dataset_root, tmp_path):
@@ -162,6 +193,9 @@ class TestTransformerTrainer:
         assert "h@10_slice_:3" in full
         assert "ndcg@10_slice_:3" in full
         assert all(0.0 <= v <= 1.0 for v in full.values())
+        # Final test-split eval ran (target items[-1], ref data/amazon.py:65-91).
+        assert hist["test_eval_metrics"] is not None
+        assert "h@10_slice_:3" in hist["test_eval_metrics"]
 
     def test_decoder_resume(self, dataset_root, tmp_path):
         """pretrained_decoder_path restores stage-2 weights (ref
@@ -220,7 +254,7 @@ class TestGinConfigs:
         assert cfg["lr_scheduler_eta_min"] == 7e-8
         assert cfg["dataset"] == RecDataset.AMAZON
 
-    def test_binding_filters_unknown(self):
+    def test_binding_known_params(self):
         from hidvae_tpu.utils.ginlite import bind_to_kwargs, parse_gin_file
         from hidvae_tpu.train.hidvae import train as hid_train
 
@@ -229,3 +263,32 @@ class TestGinConfigs:
         assert kwargs["iterations"] == 400000
         assert kwargs["eval_tta"] is True
         assert kwargs["layer_specific_lr"] is True
+
+    def test_unknown_binding_raises(self):
+        """A typo'd hyperparameter must fail the run, matching gin-config's
+        behavior (ref modules/utils.py:58-62), not silently train defaults."""
+        from hidvae_tpu.utils.ginlite import bind_to_kwargs
+        from hidvae_tpu.train.hidvae import train as hid_train
+
+        cfg = {"train": {"iterations": 10, "learnign_rate": 1e-3}}  # typo
+        with pytest.raises(ValueError, match="learnign_rate"):
+            bind_to_kwargs(cfg, "train", hid_train)
+        # Non-strict mode downgrades to a warning and still binds the rest.
+        kwargs = bind_to_kwargs(cfg, "train", hid_train, strict=False)
+        assert kwargs == {"iterations": 10}
+
+    def test_all_configs_bind_strictly(self):
+        """Every shipped config must bind cleanly to its trainer."""
+        import glob as g
+
+        from hidvae_tpu.utils.ginlite import bind_to_kwargs, parse_gin_file
+        from hidvae_tpu.train.hidvae import train as hid_train
+        from hidvae_tpu.train.rqvae import train as rq_train
+        from hidvae_tpu.train.transformer import train as tf_train
+
+        for path in sorted(g.glob("configs/*.gin")):
+            name = os.path.basename(path)
+            fn = (hid_train if name.startswith("h_rqvae")
+                  else rq_train if name.startswith("rqvae") else tf_train)
+            kwargs = bind_to_kwargs(parse_gin_file(path), "train", fn)
+            assert kwargs, path
