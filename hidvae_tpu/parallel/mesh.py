@@ -27,8 +27,17 @@ def make_mesh(
     *,
     devices=None,
 ) -> Mesh:
-    """Create a ('data', 'model') mesh. Defaults to all devices on the data axis."""
-    devices = list(devices if devices is not None else jax.devices())
+    """Create a ('data', 'model') mesh. Defaults to all devices on the data
+    axis; HIDVAE_MESH_DEVICES=N caps the device count (used by tests to
+    compare single-device vs multi-device trainer runs)."""
+    import os
+
+    if devices is None:
+        devices = jax.devices()
+        limit = os.environ.get("HIDVAE_MESH_DEVICES")
+        if limit:
+            devices = devices[: int(limit)]
+    devices = list(devices)
     if n_data is None:
         n_data = len(devices) // n_model
     assert n_data * n_model <= len(devices), (
@@ -46,6 +55,34 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def stage2_param_shardings(mesh: Mesh, params):
+    """DP+TP shardings for EncoderDecoderRetrievalModel parameters: the
+    semantic-ID embedding table, the vocab output projection, and the
+    transformer FF kernels shard over 'model'; everything else replicates.
+    Dimensions indivisible by the axis fall back to replication."""
+
+    def spec(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+
+        def ok(s):
+            for dim, axis in enumerate(s):
+                if axis is not None and leaf.shape[dim] % mesh.shape[axis] != 0:
+                    return P()
+            return s
+
+        if "sem_id_embedder" in names and names[-1] == "embedding":
+            return ok(P("model", None))   # vocab-sharded ID table
+        if "out_proj" in names and names[-1] == "kernel":
+            return ok(P(None, "model"))   # vocab-sharded logits projection
+        if "ff" in names and names[-1] == "kernel":
+            return ok(P(None, "model") if "dense_0" in names else P("model", None))
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, spec(path, leaf)), params
+    )
 
 
 def shard_batch(mesh: Mesh, batch):

@@ -201,6 +201,7 @@ def train(
     warmup_steps=10_000,
     remat=False,
     make_plots=True,
+    n_model_shards=1,  # tensor-parallel axis: shards ID table / out-proj / FF
 ):
     from hidvae_tpu.utils.runtime import configure_runtime
 
@@ -318,17 +319,30 @@ def train(
         logger.info(f"Restored decoder from {pretrained_decoder_path} "
                     f"(iter {start_iter})")
 
+    mesh = make_mesh(n_model=n_model_shards)
+    b_shard, r_shard = batch_sharding(mesh), replicated_sharding(mesh)
+    n_data = mesh.shape["data"]
+
+    if n_model_shards > 1:
+        # Tensor parallelism over 'model' (capability the reference lacks;
+        # SURVEY §2.7): shard the ID table / out-proj / FF kernels, rebuild
+        # opt_state on the sharded params so Adam moments inherit the layout.
+        from hidvae_tpu.parallel.mesh import stage2_param_shardings
+
+        shardings = stage2_param_shardings(mesh, params)
+        params = jax.tree_util.tree_map(jax.device_put, params, shardings)
+        if opt_state is None:
+            opt_state = tx.init(params)
+        logger.info(f"Tensor-parallel params over {n_model_shards} shards")
+
     state = TrainState(
         step=jnp.asarray(start_iter, jnp.int32),
         params=params,
         batch_stats={},
         opt_state=opt_state if opt_state is not None else tx.init(params),
     )
-
-    mesh = make_mesh()
-    b_shard, r_shard = batch_sharding(mesh), replicated_sharding(mesh)
-    n_data = mesh.shape["data"]
-    state = jax.device_put(state, r_shard)
+    if n_model_shards <= 1:
+        state = jax.device_put(state, r_shard)
 
     # Accelerate split_batches semantics (ref train_transformer.py:173-176):
     # False means batch_size is per-shard; the global batch scales with the mesh.
@@ -403,6 +417,14 @@ def train(
     # for resume equivalence (train 2N == train N; save; restore; train N).
     step_root = jax.random.fold_in(jax.random.key(seed), 0x5EED)
 
+    def shard_dp(t):
+        """Pin sampled batches to the data axis so the DP split is explicit
+        (XLA then partitions the tokenize gathers and inserts the gradient
+        all-reduce; ref semantics: Accelerate DDP, SURVEY §2.7)."""
+        if t is None or n_data <= 1 or t.shape[0] % n_data != 0:
+            return t
+        return jax.lax.with_sharding_constraint(t, b_shard)
+
     @jax.jit
     def train_chunk(state, it0):
         def body(carry, i):
@@ -413,6 +435,7 @@ def train(
             if train_seq.subsample:
                 items, fut = random_crop_windows(r_crop, items, fut)
             tokenized = tokenize_on_device(cached_table, u, items, fut)
+            tokenized = jax.tree_util.tree_map(shard_dp, tokenized)
             new_state, m = train_step(carry, tokenized, r_step)
             return new_state, m
 
@@ -438,7 +461,9 @@ def train(
                 u, items_, fut_ = dseq.sample_rows(r_s, batch_size)
                 if train_seq.subsample:
                     items_, fut_ = random_crop_windows(r_c, items_, fut_)
-                tokenized = tokenize_on_device(cached_table, u, items_, fut_)
+                tokenized = jax.tree_util.tree_map(
+                    shard_dp, tokenize_on_device(cached_table, u, items_, fut_)
+                )
                 state, m = train_step(state, tokenized, r_t)
             loss = float(np.asarray(m["loss"]))
             loss_d = np.asarray(m["loss_d"])

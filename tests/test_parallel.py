@@ -151,3 +151,84 @@ class TestDistributedInit:
         )
         assert res.returncode == 0, res.stderr[-2000:]
         assert "DIST_OK 8.0 0" in res.stdout
+
+
+class TestTrainerMultiDevice:
+    """VERDICT #6: real trainer runs on the 8-device mesh, not just one-step
+    dryruns — loss trajectories must match the single-device run, and the
+    stage-2 trainer's tensor-parallel option must actually shard parameters."""
+
+    @pytest.fixture()
+    def dataset_root(self, tmp_path):
+        from hidvae_tpu.data.processed import RecDataset, processed_path
+        from hidvae_tpu.data.synthetic import build_synthetic
+
+        root = str(tmp_path / "synth")
+        arrays = build_synthetic(
+            n_items=200, n_users=40, feature_dim=32, tag_dim=16,
+            max_seq_len=8, min_seq_len=4, level_branching=(4, 2, 2),
+        )
+        arrays.save(processed_path(root, RecDataset.SYNTHETIC))
+        return root
+
+    def _hidvae_common(self, dataset_root, out):
+        from hidvae_tpu.data.processed import RecDataset
+
+        return dict(
+            iterations=6, batch_size=16, learning_rate=1e-3,
+            dataset_folder=dataset_root, dataset=RecDataset.SYNTHETIC,
+            save_dir_root=out, eval_every=10_000, do_eval=False,
+            save_model_every=10_000,
+            vae_input_dim=32, vae_n_cat_feats=0, vae_hidden_dims=(32, 16),
+            vae_embed_dim=8, vae_codebook_size=32, vae_n_layers=3,
+            tag_embed_dim=16, rare_tag_threshold=3,
+            log_every=2, make_plots=False, seed=11,
+        )
+
+    def test_hidvae_loss_trajectory_matches_single_device(
+        self, dataset_root, tmp_path, monkeypatch
+    ):
+        from hidvae_tpu.train.hidvae import train
+
+        monkeypatch.setenv("HIDVAE_MESH_DEVICES", "1")
+        single = train(**self._hidvae_common(dataset_root, str(tmp_path / "s")))
+        monkeypatch.delenv("HIDVAE_MESH_DEVICES")
+        assert len(jax.devices()) == 8
+        multi = train(**self._hidvae_common(dataset_root, str(tmp_path / "m")))
+
+        # Same (seed, step) randomness on both meshes; only reduction order
+        # differs, so trajectories agree to float tolerance.
+        np.testing.assert_allclose(
+            np.asarray(single["history"]["total_loss"]),
+            np.asarray(multi["history"]["total_loss"]),
+            rtol=5e-3, atol=1e-4,
+        )
+
+    def test_transformer_trainer_tensor_parallel(self, dataset_root, tmp_path):
+        from hidvae_tpu.train.transformer import train
+        from hidvae_tpu.data.processed import RecDataset
+
+        result = train(
+            iterations=4, batch_size=8, dataset_folder=dataset_root,
+            dataset=RecDataset.SYNTHETIC, save_dir_root=str(tmp_path / "out"),
+            partial_eval_every=10_000, full_eval_every=10_000,
+            save_model_every=10_000,
+            vae_input_dim=32, vae_n_cat_feats=0, vae_hidden_dims=(32, 16),
+            vae_embed_dim=8, vae_codebook_size=32, vae_n_layers=3,
+            use_h_tokenizer=True, tag_embed_dim=16, tag_class_counts=[4, 8, 16],
+            decoder_embed_dim=16, attn_embed_dim=32, attn_heads=2, attn_layers=2,
+            eval_batches=1, log_every=2, make_plots=False,
+            n_model_shards=2,
+        )
+        assert np.isfinite(result["history"]["train_loss"]).all()
+        params = result["state"].params
+        out_spec = params["out_proj"]["kernel"].sharding.spec
+        assert tuple(out_spec) == (None, "model"), out_spec
+        # At least one FF kernel is model-sharded too.
+        ff_specs = [
+            leaf.sharding.spec
+            for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+            if any(getattr(p, "key", "") == "ff" for p in path)
+            and getattr(path[-1], "key", "") == "kernel"
+        ]
+        assert any("model" in tuple(s) for s in ff_specs), ff_specs
