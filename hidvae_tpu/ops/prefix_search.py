@@ -32,6 +32,33 @@ def build_prefix_index(corpus_ids):
     return corpus_ids[order]
 
 
+def build_prefix_index_with_perm(corpus_ids):
+    """Like `build_prefix_index` but also returns the sort permutation, so a
+    sorted row can be resolved back to its original corpus (item) index —
+    the lookup direction serving needs (generated ID tuple -> item)."""
+    corpus_ids = corpus_ids.astype(jnp.int32)
+    keys = tuple(corpus_ids[:, d] for d in range(corpus_ids.shape[1] - 1, -1, -1))
+    order = jnp.lexsort(keys)
+    return corpus_ids[order], order.astype(jnp.int32)
+
+
+def lookup_items(sorted_corpus, perm, tuples):
+    """Resolve full ID tuples to original corpus row (item) indices.
+
+    sorted_corpus, perm: from `build_prefix_index_with_perm`.
+    tuples: [..., D] int32 complete ID tuples.
+    Returns int32 array of shape tuples.shape[:-1]; -1 where the tuple does
+    not appear in the corpus. When several corpus rows share the tuple (the
+    stage-1 repetition rate is nonzero without a dedup dim), the row with the
+    smallest original index wins — ties are inherent to duplicate IDs.
+    """
+    lo, hi = prefix_range(sorted_corpus, tuples)
+    # lexsort is stable, so equal tuples keep ascending original indices and
+    # perm[lo] is the smallest original index of the tuple.
+    idx = jnp.take(perm, jnp.clip(lo, 0, perm.shape[0] - 1), axis=0)
+    return jnp.where(hi > lo, idx, -1)
+
+
 def _lex_less(rows, queries):
     """rows, queries: [Q, D] -> [Q] bool, True where rows <lex queries."""
     neq = rows != queries

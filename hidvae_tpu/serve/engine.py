@@ -1,0 +1,194 @@
+"""Production serving path for a trained two-stage retrieval model.
+
+The reference has no inference entry point beyond the training-time eval loop
+(/root/reference/train_transformer.py:467-502) — deploying it means replaying
+trainer internals by hand. This module is the TPU-native deployment surface:
+
+  * frozen tokenizer + decoder restored from their Orbax checkpoints;
+  * the whole serving state lives in HBM: corpus ID table, sorted prefix
+    index, and its permutation for ID-tuple -> item resolution;
+  * requests are padded to a small set of batch *buckets* so every request
+    shape hits an already-compiled executable (XLA recompiles per shape —
+    bucketing bounds the number of compilations at max(len(buckets)));
+  * one fused jit per bucket runs tokenize (corpus-table gather) +
+    constrained beam search + tuple->item resolution on device, so a request
+    costs a single host->device round trip.
+"""
+
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hidvae_tpu.data.schemas import TokenizedSeqBatch
+from hidvae_tpu.models.retrieval import EncoderDecoderRetrievalModel
+from hidvae_tpu.ops.prefix_search import (
+    build_prefix_index_with_perm,
+    lookup_items,
+)
+
+
+class RetrievalEngine:
+    """Batch recommendation serving over a frozen tokenizer + decoder.
+
+    Parameters
+    ----------
+    model, params : the trained EncoderDecoderRetrievalModel and its params.
+    tokenizer : a (H)SemanticIdTokenizer with a restored stage-1 model.
+    item_features : [n_items, F] float array; the corpus to index.
+    max_seq_len : history length the decoder was trained with (the engine
+        keeps the trailing `max_seq_len` items of longer histories).
+    batch_buckets : ascending request-batch sizes to pad to; requests larger
+        than the top bucket are processed in top-bucket chunks.
+    """
+
+    def __init__(
+        self,
+        model: EncoderDecoderRetrievalModel,
+        params,
+        tokenizer,
+        item_features,
+        *,
+        max_seq_len: int,
+        batch_buckets: Sequence[int] = (8, 32, 128),
+        generation_temperature: float = 1.0,
+    ):
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.max_seq_len = int(max_seq_len)
+        self.batch_buckets = tuple(sorted(int(b) for b in batch_buckets))
+        self.generation_temperature = float(generation_temperature)
+
+        # Device-resident serving state.
+        self.corpus_ids = tokenizer.precompute_corpus_ids(item_features)
+        self.n_items = int(self.corpus_ids.shape[0])
+        self.sem_id_dim = int(self.corpus_ids.shape[1])
+        self.sorted_ids, self.perm = build_prefix_index_with_perm(self.corpus_ids)
+        self.prefix_caps = (
+            tuple(tokenizer.prefix_caps) if tokenizer.prefix_caps else None
+        )
+        self._serve_fns = {}  # bucket -> jitted serve step
+
+    # ---- request preparation (host side) ----
+
+    def _pad_histories(self, items: np.ndarray) -> np.ndarray:
+        """Clip/pad raw item-ID histories to [B, max_seq_len] int32, keeping
+        the most recent items (serving predicts the next interaction, so the
+        trailing window is the informative one)."""
+        items = np.asarray(items, np.int32)
+        if items.ndim != 2:
+            raise ValueError(f"histories must be [B, N], got {items.shape}")
+        out = np.full((items.shape[0], self.max_seq_len), -1, np.int32)
+        for r, row in enumerate(items):
+            valid = row[row >= 0]
+            if valid.size > self.max_seq_len:
+                valid = valid[-self.max_seq_len:]
+            out[r, : valid.size] = valid
+        return out
+
+    def _bucket(self, b: int) -> int:
+        for bucket in self.batch_buckets:
+            if b <= bucket:
+                return bucket
+        return self.batch_buckets[-1]
+
+    # ---- the fused device step ----
+
+    def _serve_fn(self, bucket: int):
+        """tokenize -> beam search -> resolve, one jit per batch bucket."""
+        if bucket in self._serve_fns:
+            return self._serve_fns[bucket]
+
+        model = self.model
+        d = self.sem_id_dim
+        caps = self.prefix_caps
+        temperature = self.generation_temperature
+
+        @jax.jit
+        def step(params, cached_ids, sorted_ids, perm, user_ids, items):
+            b, n = items.shape
+            safe = jnp.where((items >= 0) & (items < cached_ids.shape[0]), items, 0)
+            sem = jnp.take(cached_ids, safe, axis=0).reshape(b, n * d)
+            mask = jnp.repeat(items >= 0, d, axis=1)
+            batch = TokenizedSeqBatch(
+                user_ids=user_ids,
+                sem_ids=jnp.where(mask, sem, -1),
+                sem_ids_fut=jnp.zeros((b, d), jnp.int32),
+                seq_mask=mask,
+                token_type_ids=jnp.tile(jnp.arange(d, dtype=jnp.int32), (b, n)),
+                token_type_ids_fut=jnp.tile(
+                    jnp.arange(d, dtype=jnp.int32), (b, 1)
+                ),
+            )
+            out = model.apply(
+                {"params": params}, batch, sorted_ids,
+                temperature=temperature, prefix_caps=caps,
+                method=EncoderDecoderRetrievalModel.generate_next_sem_id,
+            )
+            item_idx = lookup_items(sorted_ids, perm, out.sem_ids)  # [B, k]
+            return item_idx, out.sem_ids, out.log_probas
+
+        self._serve_fns[bucket] = step
+        return step
+
+    def warmup(self, buckets: Optional[Sequence[int]] = None):
+        """Compile the serve step for the given (default: all) buckets."""
+        for bucket in buckets or self.batch_buckets:
+            items = np.zeros((bucket, self.max_seq_len), np.int32)
+            self.recommend(items)
+
+    # ---- public API ----
+
+    def recommend(self, histories, user_ids=None, top_k: int = 10):
+        """Recommend the next items for a batch of user histories.
+
+        histories: [B, N] int item indices, -1 padded (N arbitrary).
+        user_ids: optional [B] ints (hash-bucketed by the model).
+        top_k: number of items to return per user (<= beam width 32).
+
+        Returns a dict with:
+          items      [B, top_k] int32 corpus item indices (-1 = unresolved;
+                     cannot happen while generation is corpus-constrained)
+          sem_ids    [B, top_k, D] the generated semantic-ID tuples
+          scores     [B, top_k] beam log-probabilities (descending)
+          latency_s  wall-clock seconds for the device step(s)
+        """
+        items = self._pad_histories(histories)
+        b = items.shape[0]
+        uids = (
+            np.zeros((b,), np.int32)
+            if user_ids is None
+            else np.asarray(user_ids, np.int32)
+        )
+
+        out_items, out_sids, out_scores = [], [], []
+        t0 = time.perf_counter()
+        chunk = self.batch_buckets[-1]
+        for start in range(0, b, chunk):
+            part = items[start : start + chunk]
+            pu = uids[start : start + chunk]
+            bucket = self._bucket(part.shape[0])
+            pad = bucket - part.shape[0]
+            if pad:
+                part = np.concatenate([part, np.full((pad, part.shape[1]), -1, np.int32)])
+                pu = np.concatenate([pu, np.zeros((pad,), np.int32)])
+            fn = self._serve_fn(bucket)
+            idx, sids, scores = fn(
+                self.params, self.tokenizer.cached_ids, self.sorted_ids,
+                self.perm, jnp.asarray(pu), jnp.asarray(part),
+            )
+            rows = part.shape[0] - pad
+            out_items.append(np.asarray(idx)[:rows, :top_k])
+            out_sids.append(np.asarray(sids)[:rows, :top_k])
+            out_scores.append(np.asarray(scores)[:rows, :top_k])
+        latency = time.perf_counter() - t0
+
+        return {
+            "items": np.concatenate(out_items),
+            "sem_ids": np.concatenate(out_sids),
+            "scores": np.concatenate(out_scores),
+            "latency_s": latency,
+        }

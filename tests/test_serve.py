@@ -1,0 +1,128 @@
+"""Tests for the serving engine (hidvae_tpu/serve/engine.py) and the
+ID-tuple -> item resolution op it relies on."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hidvae_tpu.models.quantize import QuantizeForwardMode
+from hidvae_tpu.models.retrieval import EncoderDecoderRetrievalModel
+from hidvae_tpu.models.rqvae import RqVae
+from hidvae_tpu.ops.prefix_search import (
+    build_prefix_index_with_perm,
+    lookup_items,
+)
+from hidvae_tpu.serve import RetrievalEngine
+from hidvae_tpu.tokenizer import SemanticIdTokenizer
+
+F, D, K, L = 32, 8, 16, 3
+N_ITEMS = 64
+MAX_SEQ = 6
+
+
+class TestLookupItems:
+    def test_roundtrip(self):
+        rng = np.random.RandomState(0)
+        corpus = jnp.asarray(rng.randint(0, 50, (200, 4)), jnp.int32)
+        sorted_ids, perm = build_prefix_index_with_perm(corpus)
+        # Every corpus row resolves to an index holding the same tuple.
+        idx = np.asarray(lookup_items(sorted_ids, perm, corpus))
+        assert (idx >= 0).all()
+        np.testing.assert_array_equal(
+            np.asarray(corpus)[idx], np.asarray(corpus)
+        )
+
+    def test_absent_tuple(self):
+        corpus = jnp.asarray([[1, 2], [3, 4]], jnp.int32)
+        sorted_ids, perm = build_prefix_index_with_perm(corpus)
+        idx = np.asarray(lookup_items(sorted_ids, perm, jnp.asarray([[9, 9]])))
+        assert idx[0] == -1
+
+    def test_duplicate_rows_resolve_to_first(self):
+        corpus = jnp.asarray([[5, 5], [1, 1], [5, 5]], jnp.int32)
+        sorted_ids, perm = build_prefix_index_with_perm(corpus)
+        idx = np.asarray(lookup_items(sorted_ids, perm, jnp.asarray([[5, 5]])))
+        assert idx[0] == 0  # smallest original index among duplicates
+
+
+@pytest.fixture(scope="module")
+def engine():
+    rngs = {"params": jax.random.key(0), "gumbel": jax.random.key(1)}
+    vae = RqVae(
+        input_dim=F, embed_dim=D, hidden_dims=(16,), codebook_size=K,
+        n_layers=L, n_cat_features=0, codebook_mode=QuantizeForwardMode.STE,
+    )
+    x = jax.random.normal(jax.random.key(10), (4, F))
+    vae_vars = vae.init(rngs, x, 0.2, train=False)
+    tok = SemanticIdTokenizer(vae, vae_vars, n_layers=L, codebook_size=K)
+
+    model = EncoderDecoderRetrievalModel(
+        embedding_dim=16, attn_dim=32, dropout=0.1, num_heads=4, n_layers=2,
+        num_embeddings=K, sem_id_dim=L, max_pos=MAX_SEQ * L, n_sem_layers=L,
+    )
+    t = MAX_SEQ * L
+    from hidvae_tpu.data.schemas import TokenizedSeqBatch
+
+    example = TokenizedSeqBatch(
+        user_ids=jnp.zeros((2,), jnp.int32),
+        sem_ids=jnp.zeros((2, t), jnp.int32),
+        sem_ids_fut=jnp.zeros((2, L), jnp.int32),
+        seq_mask=jnp.ones((2, t), bool),
+        token_type_ids=jnp.tile(jnp.arange(L, dtype=jnp.int32), (2, MAX_SEQ)),
+        token_type_ids_fut=jnp.tile(jnp.arange(L, dtype=jnp.int32), (2, 1)),
+    )
+    variables = model.init(
+        {"params": jax.random.key(2), "dropout": jax.random.key(3)}, example, False
+    )
+    item_features = jax.random.normal(jax.random.key(20), (N_ITEMS, F))
+    return RetrievalEngine(
+        model, variables["params"], tok, item_features,
+        max_seq_len=MAX_SEQ, batch_buckets=(4, 8),
+    )
+
+
+class TestRetrievalEngine:
+    def test_recommend_shapes_and_validity(self, engine):
+        rng = np.random.RandomState(1)
+        hist = rng.randint(0, N_ITEMS, (3, 4))
+        out = engine.recommend(hist, top_k=5)
+        assert out["items"].shape == (3, 5)
+        assert out["sem_ids"].shape == (3, 5, L)
+        assert out["scores"].shape == (3, 5)
+        # Constrained generation -> every tuple resolves to a real item whose
+        # corpus IDs equal the generated tuple.
+        assert (out["items"] >= 0).all() and (out["items"] < N_ITEMS).all()
+        corpus = np.asarray(engine.corpus_ids)
+        np.testing.assert_array_equal(
+            corpus[out["items"].reshape(-1)],
+            out["sem_ids"].reshape(-1, L),
+        )
+        # Beam scores are descending.
+        assert (np.diff(out["scores"], axis=1) <= 1e-6).all()
+
+    def test_ragged_and_long_histories(self, engine):
+        # Row 0: empty history; row 1: longer than max_seq_len (clipped to the
+        # trailing window); row 2: -1 padded.
+        hist = np.full((3, 10), -1, np.int64)
+        hist[1] = np.arange(10)
+        hist[2, :2] = [7, 9]
+        out = engine.recommend(hist, top_k=3)
+        assert out["items"].shape == (3, 3)
+        assert (out["items"] >= 0).all()
+
+    def test_bucketing_consistency(self, engine):
+        """A request served in a padded bucket returns the same items as the
+        same rows served alone (padding rows must not leak)."""
+        rng = np.random.RandomState(2)
+        hist = rng.randint(0, N_ITEMS, (5, 4))  # bucket 8 with 3 pad rows
+        full = engine.recommend(hist, top_k=4)
+        solo = engine.recommend(hist[:4], top_k=4)  # exact bucket 4
+        np.testing.assert_array_equal(full["items"][:4], solo["items"])
+
+    def test_chunking_over_top_bucket(self, engine):
+        rng = np.random.RandomState(3)
+        hist = rng.randint(0, N_ITEMS, (11, 4))  # > top bucket 8 -> 2 chunks
+        out = engine.recommend(hist, top_k=2)
+        assert out["items"].shape == (11, 2)
+        assert (out["items"] >= 0).all()

@@ -197,6 +197,76 @@ class TestTransformerTrainer:
         assert hist["test_eval_metrics"] is not None
         assert "h@10_slice_:3" in hist["test_eval_metrics"]
 
+    def test_short_run_concatenated_ids(self, dataset_root, tmp_path):
+        """The reference's flagship Amazon layout: corpus IDs are
+        [s1..sL, t1..tL] (use_concatenated_ids=True,
+        ref configs/decoder_amazon.gin:32, h_semids.py:51-57)."""
+        from hidvae_tpu.train.transformer import train
+
+        result = train(
+            iterations=3, batch_size=8, dataset_folder=dataset_root,
+            dataset=RecDataset.SYNTHETIC, save_dir_root=str(tmp_path / "out"),
+            partial_eval_every=3, full_eval_every=3, save_model_every=10,
+            vae_input_dim=TINY["feature_dim"], vae_n_cat_feats=0,
+            vae_hidden_dims=(32, 16), vae_embed_dim=8, vae_codebook_size=32,
+            vae_n_layers=3, use_h_tokenizer=True, tag_embed_dim=TINY["tag_dim"],
+            tag_class_counts=[4, 8, 16], use_concatenated_ids=True,
+            decoder_embed_dim=16, attn_embed_dim=32, attn_heads=2, attn_layers=2,
+            eval_batches=1, log_every=1, make_plots=False,
+        )
+        hist = result["history"]
+        assert np.isfinite(hist["train_loss"]).all()
+        full = hist["full_eval_metrics"][-1]
+        # 6-digit IDs: per-position metrics go up to pos_5 / slice_:6.
+        assert "h@10_slice_:6" in full
+        assert "h@10_pos_5" in full
+        assert hist["test_eval_metrics"] is not None
+
+    def test_short_run_interleaved_ids(self, dataset_root, tmp_path):
+        """KuaiRand's flagship layout: [s1,t1,s2,t2,s3,t3]
+        (use_interleaved_ids=True, ref configs/decoder_kuairand.gin:25)."""
+        from hidvae_tpu.train.transformer import train
+
+        result = train(
+            iterations=3, batch_size=8, dataset_folder=dataset_root,
+            dataset=RecDataset.SYNTHETIC, save_dir_root=str(tmp_path / "out"),
+            partial_eval_every=3, full_eval_every=3, save_model_every=10,
+            vae_input_dim=TINY["feature_dim"], vae_n_cat_feats=0,
+            vae_hidden_dims=(32, 16), vae_embed_dim=8, vae_codebook_size=32,
+            vae_n_layers=3, use_h_tokenizer=True, tag_embed_dim=TINY["tag_dim"],
+            tag_class_counts=[4, 8, 16], use_interleaved_ids=True,
+            decoder_embed_dim=16, attn_embed_dim=32, attn_heads=2, attn_layers=2,
+            eval_batches=1, log_every=1, make_plots=False,
+        )
+        hist = result["history"]
+        assert np.isfinite(hist["train_loss"]).all()
+        full = hist["full_eval_metrics"][-1]
+        assert "h@10_slice_:6" in full
+        assert hist["test_eval_metrics"] is not None
+
+    def test_short_run_plain_tokenizer_dedup(self, dataset_root, tmp_path):
+        """Plain SemanticIdTokenizer route (use_h_tokenizer=False) with the
+        dedup rank column (ref call sites train_transformer.py:269,
+        train_rqvae.py:321-323; module missing upstream, SURVEY §0.1)."""
+        from hidvae_tpu.train.transformer import train
+
+        result = train(
+            iterations=3, batch_size=8, dataset_folder=dataset_root,
+            dataset=RecDataset.SYNTHETIC, save_dir_root=str(tmp_path / "out"),
+            partial_eval_every=3, full_eval_every=3, save_model_every=10,
+            vae_input_dim=TINY["feature_dim"], vae_n_cat_feats=0,
+            vae_hidden_dims=(32, 16), vae_embed_dim=8, vae_codebook_size=32,
+            vae_n_layers=3, use_h_tokenizer=False, use_dedup_dim=True,
+            decoder_embed_dim=16, attn_embed_dim=32, attn_heads=2, attn_layers=2,
+            eval_batches=1, log_every=1, make_plots=False,
+        )
+        hist = result["history"]
+        assert np.isfinite(hist["train_loss"]).all()
+        full = hist["full_eval_metrics"][-1]
+        # 3 semantic digits + 1 dedup rank digit.
+        assert "h@10_slice_:4" in full
+        assert hist["test_eval_metrics"] is not None
+
     def test_decoder_resume(self, dataset_root, tmp_path):
         """pretrained_decoder_path restores stage-2 weights (ref
         train_transformer.py:366-375)."""
