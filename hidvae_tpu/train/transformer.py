@@ -19,6 +19,7 @@ import logging
 import os
 import time
 from datetime import datetime
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -425,7 +426,7 @@ def train(
             return t
         return jax.lax.with_sharding_constraint(t, b_shard)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_chunk(state, it0):
         def body(carry, i):
             r_sample, r_crop, r_step = jax.random.split(
