@@ -228,12 +228,24 @@ def verify_pallas_kernel(n_items=20_000, d=32, k=256, levels=3):
     ids_r, qsum_r = rq_assign_reference(x, cbs)
     jax.block_until_ready(ids_k)
 
-    def timed(fn):
+    def timed(fn, iters=10):
+        # Run the iterations inside ONE jit so remote-dispatch latency is paid
+        # once, not per call; each step sees a distinct input (scan over
+        # per-iteration scales) so the body cannot be hoisted out of the loop.
+        scales = 1.0 + jnp.arange(iters, dtype=jnp.float32) * 1e-6
+
+        @jax.jit
+        def run(x, cbs):
+            def body(acc, s):
+                ids, _ = fn(x * s, cbs)
+                return acc + ids.sum(), ()
+            out, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), scales)
+            return out
+
+        jax.block_until_ready(run(x, cbs))  # compile
         t0 = time.perf_counter()
-        for _ in range(10):
-            out = fn(x, cbs)
-        jax.block_until_ready(out[0])
-        return (time.perf_counter() - t0) / 10
+        jax.block_until_ready(run(x, cbs))
+        return (time.perf_counter() - t0) / iters
 
     t_kernel = timed(rq_assign)
     t_ref = timed(rq_assign_reference)
