@@ -249,18 +249,23 @@ def repetition_rate(corpus_ids: np.ndarray):
     return 1.0 - unique / total, unique, total
 
 
-def id_diversity_metrics(corpus_ids: np.ndarray, codebook_size: int, n_sem_layers: int):
+def id_diversity_metrics(corpus_ids: np.ndarray, codebook_size: int, n_sem_layers: int,
+                         sem_cols=None):
     """Entropy of the unique-tuple distribution, max duplicates, per-level
-    codebook usage (ref train_rqvae.py:316-343)."""
+    codebook usage (ref train_rqvae.py:316-343).
+
+    sem_cols: which columns hold semantic digits (used for codebook usage);
+    defaults to the first n_sem_layers columns. Concatenated/interleaved
+    layouts place tag digits among the columns, so callers auditing a full
+    mixed table pass the semantic positions explicitly."""
     ids = np.asarray(corpus_ids)
     _, counts = np.unique(ids, axis=0, return_counts=True)
     probs = counts / counts.sum()
     entropy = float(-(probs * np.log(probs)).sum())
     max_dup = int(counts.max())
-    usage = [
-        float(len(np.unique(ids[:, l])) / codebook_size)
-        for l in range(min(n_sem_layers, ids.shape[1]))
-    ]
+    if sem_cols is None:
+        sem_cols = range(min(n_sem_layers, ids.shape[1]))
+    usage = [float(len(np.unique(ids[:, l])) / codebook_size) for l in sem_cols]
     rep, unique, total = repetition_rate(ids)
     return {
         "rqvae_entropy": entropy,

@@ -266,16 +266,17 @@ def train(
     logger.info(f"Corpus table: {corpus_ids.shape}, sem_ids_dim={sem_id_dim}")
 
     # ID repetition audit incl. semantic-only slice (ref train_transformer.py:277-328).
-    div = id_diversity_metrics(np.asarray(corpus_ids), vae_codebook_size, vae_n_layers)
+    # Semantic digits sit at [0, 2, 4, ...] in the interleaved layout and at
+    # [0..n_layers) in the concatenated/dedup ones (ref train_transformer.py:306-316).
+    if use_interleaved_ids:
+        sem_cols = [2 * i for i in range(vae_n_layers) if 2 * i < sem_id_dim]
+    else:
+        sem_cols = list(range(min(vae_n_layers, sem_id_dim)))
+    div = id_diversity_metrics(
+        np.asarray(corpus_ids), vae_codebook_size, vae_n_layers, sem_cols=sem_cols
+    )
     logger.info(f"Corpus ID diversity: {div}")
     if sem_id_dim > vae_n_layers:
-        # Semantic digits sit at [0, 2, 4, ...] in the interleaved layout and
-        # at [0..n_layers) in the concatenated/dedup ones
-        # (ref train_transformer.py:306-316).
-        if use_interleaved_ids:
-            sem_cols = [2 * i for i in range(vae_n_layers) if 2 * i < sem_id_dim]
-        else:
-            sem_cols = list(range(vae_n_layers))
         sem_only = id_diversity_metrics(
             np.asarray(corpus_ids)[:, sem_cols], vae_codebook_size, vae_n_layers
         )
