@@ -33,6 +33,7 @@ def build_synthetic(
     max_seq_len: int = 20,
     min_seq_len: int = 5,
     n_cat_feats: int = 0,
+    pool_size: int = 12,
     seed: int = 42,
 ) -> ProcessedArrays:
     rng = np.random.RandomState(seed)
@@ -99,7 +100,10 @@ def build_synthetic(
         pool = items_by_l0[pref]
         if len(pool) < min_seq_len + 2:
             pool = np.arange(n_items)
-        personal = rng.choice(pool, size=min(len(pool), 12), replace=False)
+        # pool_size controls revisit density: small pools (Beauty-style) make
+        # next-item near-deterministic; larger pools (MovieLens-style long
+        # histories) keep the exact-item ceiling meaningfully below 1.
+        personal = rng.choice(pool, size=min(len(pool), pool_size), replace=False)
         length = rng.randint(min_seq_len, max_seq_len + 1)
         seq = np.where(
             rng.rand(length + 2) < 0.85,
