@@ -76,6 +76,26 @@ class TestData:
         last = test.items[np.arange(len(test)), te_len - 1]
         np.testing.assert_array_equal(last, evald.fut)
 
+    def test_cat_feats_and_pool_size(self):
+        """ML-32M-flavored knobs (scripts/make_synthetic_ml32m.py): trailing
+        categorical one-hot features (ref data/ml32m.py:80-87) and the
+        revisit-pool size controlling next-item learnability."""
+        arrays = build_synthetic(**{**TINY, "n_cat_feats": 18})
+        assert arrays.item_features.shape == (
+            TINY["n_items"], TINY["feature_dim"] + 18)
+        cats = arrays.item_features[:, -18:]
+        assert set(np.unique(cats)) <= {0.0, 1.0}
+        dense = arrays.item_features[:, :-18]
+        np.testing.assert_allclose(np.linalg.norm(dense, axis=-1), 1.0, atol=1e-5)
+
+        def mean_unique(pool_size):
+            arr = build_synthetic(**{**TINY, "pool_size": pool_size})
+            rows = arr.seq_items[arr.seq_split == 0]
+            return np.mean([len(np.unique(r[r >= 0])) for r in rows])
+
+        # Larger revisit pools -> more distinct items per history.
+        assert mean_unique(64) > mean_unique(4)
+
     def test_seq_split_roundtrips_npz(self, dataset_root, tmp_path):
         from hidvae_tpu.data.processed import ProcessedArrays
 
