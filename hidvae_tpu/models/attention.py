@@ -32,6 +32,29 @@ def dot_product_attention(q, k, v, *, mask=None, dtype=jnp.float32):
                       preferred_element_type=jnp.float32).astype(dtype)
 
 
+def grouped_cross_attention(q, k, v, *, kv_padding_mask=None, dtype=jnp.float32):
+    """Cross-attention where g query rows share each key/value row: q is
+    [B*g, H, Nq, Dh] and k/v stay at [B, H, M, Dh] (beam search: g beams per
+    user attend to one encoder output). Avoids materializing
+    jnp.repeat(kv, g) — at 32 beams that repeat dominated generation cost
+    (the reference instead re-expands its cached encoder output per step,
+    modules/model.py:259-265)."""
+    b = k.shape[0]
+    g = q.shape[0] // b
+    assert q.shape[0] == b * g
+    scale = q.shape[-1] ** -0.5
+    qg = q.reshape(b, g, *q.shape[1:])                      # [B, g, H, Nq, Dh]
+    logits = jnp.einsum("bghqd,bhkd->bghqk", qg, k,
+                        preferred_element_type=jnp.float32) * scale
+    if kv_padding_mask is not None:
+        logits = jnp.where(kv_padding_mask[:, None, None, None, :], logits,
+                           jnp.finfo(jnp.float32).min)
+    weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
+    out = jnp.einsum("bghqk,bhkd->bghqd", weights, v,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    return out.reshape(b * g, *out.shape[2:])
+
+
 def make_attention_mask(
     q_len: int,
     kv_len: int,
@@ -137,7 +160,16 @@ class MultiHeadAttention(nn.Module):
             use_flash = flash_capable and q.shape[2] >= 2048  # auto threshold
         else:
             use_flash = self.use_flash and flash_capable
-        if use_flash:
+        if self.cross_attn and q.shape[0] != k.shape[0]:
+            # Beam-grouped cross-attention: queries carry B*g rows, keys stay
+            # at B rows (see grouped_cross_attention).
+            assert q.shape[0] % k.shape[0] == 0, (
+                f"query batch {q.shape[0]} not a multiple of kv batch {k.shape[0]}"
+            )
+            out = grouped_cross_attention(
+                q, k, v, kv_padding_mask=kv_padding_mask, dtype=self.dtype
+            )
+        elif use_flash:
             out = _flash_self_attention(
                 q, k, v, kv_padding_mask, is_causal, self.dtype
             )

@@ -154,10 +154,17 @@ class EncoderDecoderRetrievalModel(nn.Module):
         token_type_ids_fut,
         user_ids,
         train: bool = False,
+        last_only: bool = False,
     ):
-        """Causal decoder over BOS + target digits -> [B, Df+1, K] logits."""
+        """Causal decoder over BOS + target digits -> [B, Df+1, K] logits.
+
+        `last_only` projects just the final position (beam search needs one
+        digit's logits per step). enc/ctx_mask may carry B rows while
+        sem_ids_fut carries B*g beam rows (grouped cross-attention)."""
         x = self._fut_embedding(sem_ids_fut, token_type_ids_fut, user_ids, train)
         dec = self.transformer.decode(x, enc, context_padding_mask=ctx_mask, train=train)
+        if last_only:
+            dec = dec[:, -1:, :]
         return self.out_proj(dec)
 
     # ---- training / eval forward ----
@@ -222,9 +229,10 @@ class EncoderDecoderRetrievalModel(nn.Module):
         k = 32 if top_k else 1            # ref :177
 
         enc, ctx_mask = self.encode_context(batch, train=False)
-        # Broadcast encoder state to beams: [B*k, ...].
-        enc_b = jnp.repeat(enc, k, axis=0)
-        mask_b = jnp.repeat(ctx_mask, k, axis=0)
+        # Encoder state stays at [B, ...]; beams attend to it through grouped
+        # cross-attention (models/attention.py grouped_cross_attention), so the
+        # k-fold K/V duplication the reference pays per step
+        # (modules/model.py:259-265) never materializes.
         user_b = jnp.repeat(batch.user_ids, k, axis=0)
         ttids = jnp.tile(jnp.arange(d, dtype=jnp.int32)[None, :], (b * k, 1))
 
@@ -246,11 +254,14 @@ class EncoderDecoderRetrievalModel(nn.Module):
 
         kk = self.num_embeddings
         for i in range(d):
-            dec_in = generated.reshape(b * k, d)
-            logits_all = self.decode_logits(
-                enc_b, mask_b, dec_in, ttids, user_b, train=False
+            # Only digits < i feed step i's logits (causal): slice the decoder
+            # input to i tokens so each unrolled step does the minimal work.
+            dec_in = generated.reshape(b * k, d)[:, :i]
+            logits_last = self.decode_logits(
+                enc, ctx_mask, dec_in, ttids[:, :i], user_b,
+                train=False, last_only=True,
             )
-            step_logits = logits_all[:, i, :].astype(jnp.float32)  # [B*k, K]
+            step_logits = logits_last[:, 0, :].astype(jnp.float32)  # [B*k, K]
             step_logp = jax.nn.log_softmax(step_logits / temperature, axis=-1)
             if sample and rng is not None:
                 g = -jnp.log(-jnp.log(

@@ -169,6 +169,58 @@ class TestForward:
         np.testing.assert_allclose(l1[:, : D - 1 + 1], l2[:, : D - 1 + 1], atol=1e-5)
 
 
+class TestGroupedCrossAttention:
+    def test_matches_repeated_kv(self):
+        """grouped_cross_attention([B*g] queries, [B] kv) must equal the dense
+        path on jnp.repeat(kv, g) — the layout beam search relies on."""
+        from hidvae_tpu.models.attention import (
+            dot_product_attention,
+            grouped_cross_attention,
+            make_attention_mask,
+        )
+
+        rng = np.random.RandomState(0)
+        b, g, h, nq, m, dh = 3, 4, 2, 5, 7, 8
+        q = jnp.asarray(rng.randn(b * g, h, nq, dh), jnp.float32)
+        k = jnp.asarray(rng.randn(b, h, m, dh), jnp.float32)
+        v = jnp.asarray(rng.randn(b, h, m, dh), jnp.float32)
+        pad = jnp.asarray(rng.rand(b, m) > 0.3)
+        pad = pad.at[:, 0].set(True)  # at least one valid key per row
+
+        got = grouped_cross_attention(q, k, v, kv_padding_mask=pad)
+        kr = jnp.repeat(k, g, axis=0)
+        vr = jnp.repeat(v, g, axis=0)
+        mask = make_attention_mask(nq, m, causal=False,
+                                   kv_padding_mask=jnp.repeat(pad, g, axis=0))
+        want = dot_product_attention(q, kr, vr, mask=mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_decode_logits_grouped_matches_repeated(self, model_and_vars):
+        """decode_logits with enc at [B] and beams at [B*g] must match the
+        explicit jnp.repeat(enc, g) path (the round-1 beam implementation)."""
+        model, variables = model_and_vars
+        batch = make_tokenized_batch()
+        g = 3
+        enc, ctx_mask = model.apply(
+            variables, batch, method=EncoderDecoderRetrievalModel.encode_context)
+        # Beam rows are user-major ([u0b0, u0b1, ..., u1b0, ...]) — the layout
+        # generate_next_sem_id's reshape(b*k, ...) produces.
+        fut = jnp.repeat(batch.sem_ids_fut, g, axis=0)
+        tt = jnp.repeat(batch.token_type_ids_fut, g, axis=0)
+        users = jnp.repeat(batch.user_ids, g, axis=0)
+
+        def logits(e, m):
+            return model.apply(
+                variables, e, m, fut, tt, users,
+                method=EncoderDecoderRetrievalModel.decode_logits)
+
+        got = logits(enc, ctx_mask)  # grouped: kv batch B, query batch B*g
+        want = logits(jnp.repeat(enc, g, axis=0), jnp.repeat(ctx_mask, g, axis=0))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+
+
 class TestGeneration:
     def test_unconstrained_shapes(self, model_and_vars):
         model, variables = model_and_vars
