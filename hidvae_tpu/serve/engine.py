@@ -143,19 +143,59 @@ class RetrievalEngine:
         max_seq_len: int,
         batch_buckets: Sequence[int] = (8, 32, 128),
         generation_temperature: float = 1.0,
+        mesh=None,
+        shard_params: bool = False,
     ):
         self.model = model
-        self.params = params
         self.tokenizer = tokenizer
         self.max_seq_len = int(max_seq_len)
-        self.batch_buckets = tuple(sorted(int(b) for b in batch_buckets))
         self.generation_temperature = float(generation_temperature)
 
+        # Multi-chip serving: requests are sharded over the mesh's 'data'
+        # axis (each chip decodes its slice of the batch), serving tables are
+        # replicated, and `shard_params=True` additionally tensor-shards the
+        # decoder's ID table / out-projection / FF kernels over 'model' (the
+        # same layout the trainers use). The reference has no multi-device
+        # inference at all (its eval loop is single-rank,
+        # /root/reference/train_transformer.py:467-502).
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from hidvae_tpu.parallel.mesh import (
+                batch_sharding,
+                replicated_sharding,
+                stage2_param_shardings,
+            )
+
+            self._batch_sharding = batch_sharding(mesh)
+            self._replicated = replicated_sharding(mesh)
+            n_data = mesh.shape["data"]
+            # Every bucket must split evenly over the data axis.
+            batch_buckets = [b + (-b) % n_data for b in batch_buckets]
+            params = jax.device_put(
+                params,
+                stage2_param_shardings(mesh, params)
+                if shard_params
+                else self._replicated,
+            )
+        self.params = params
+        self.batch_buckets = tuple(sorted({int(b) for b in batch_buckets}))
+
         # Device-resident serving state.
-        self.corpus_ids = tokenizer.precompute_corpus_ids(item_features)
+        self.corpus_ids = tokenizer.precompute_corpus_ids(
+            item_features, sharding=self._batch_sharding
+        )
         self.n_items = int(self.corpus_ids.shape[0])
         self.sem_id_dim = int(self.corpus_ids.shape[1])
+        if mesh is not None:
+            # The ID table and prefix index are lookup state for every
+            # request row — replicate them across the mesh.
+            self.corpus_ids = jax.device_put(self.corpus_ids, self._replicated)
+            self.tokenizer.cached_ids = self.corpus_ids
         self.sorted_ids, self.perm = build_prefix_index_with_perm(self.corpus_ids)
+        if mesh is not None:
+            self.sorted_ids = jax.device_put(self.sorted_ids, self._replicated)
+            self.perm = jax.device_put(self.perm, self._replicated)
         self.prefix_caps = (
             tuple(tokenizer.prefix_caps) if tokenizer.prefix_caps else None
         )
@@ -265,9 +305,13 @@ class RetrievalEngine:
                 part = np.concatenate([part, np.full((pad, part.shape[1]), -1, np.int32)])
                 pu = np.concatenate([pu, np.zeros((pad,), np.int32)])
             fn = self._serve_fn(bucket)
+            pu, part = jnp.asarray(pu), jnp.asarray(part)
+            if self._batch_sharding is not None:
+                pu = jax.device_put(pu, self._batch_sharding)
+                part = jax.device_put(part, self._batch_sharding)
             idx, sids, scores = fn(
                 self.params, self.tokenizer.cached_ids, self.sorted_ids,
-                self.perm, jnp.asarray(pu), jnp.asarray(part),
+                self.perm, pu, part,
             )
             rows = part.shape[0] - pad
             out_items.append(np.asarray(idx)[:rows, :top_k])

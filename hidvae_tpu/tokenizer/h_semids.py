@@ -115,23 +115,35 @@ class HSemanticIdTokenizer:
             return interleave_ids(sem_ids, tag_ids)
         return sem_ids
 
-    def _corpus_ids_for(self, item_features):
+    def _corpus_ids_for(self, item_features, sharding=None):
         n = item_features.shape[0]
         chunk = min(self.corpus_chunk_size, n)
+        if sharding is not None:
+            # Even DP sharding over the mesh's data axis needs the chunk's
+            # item dimension divisible by the axis size.
+            n_shards = sharding.mesh.shape["data"]
+            chunk += (-chunk) % n_shards
         out = []
         for start in range(0, n, chunk):
             block = item_features[start : start + chunk]
             valid = block.shape[0]
             if valid < chunk:
                 block = jnp.pad(block, ((0, chunk - valid), (0, 0)))
+            if sharding is not None:
+                block = jax.device_put(block, sharding)
             sem_ids, tag_ids = self._encode_ids(self.variables, block)
             combined = self._combine(sem_ids, tag_ids) if tag_ids is not None else sem_ids
             out.append(combined[:valid])
         return jnp.concatenate(out, axis=0)
 
-    def precompute_corpus_ids(self, item_features) -> jax.Array:
-        """Build the [n_items, sem_ids_dim] corpus table (ref h_semids.py:109-195)."""
-        ids = self._corpus_ids_for(jnp.asarray(item_features))
+    def precompute_corpus_ids(self, item_features, sharding=None) -> jax.Array:
+        """Build the [n_items, sem_ids_dim] corpus table (ref h_semids.py:109-195).
+
+        `sharding` (optional NamedSharding over a mesh 'data' axis) runs the
+        corpus sweep data-parallel over the mesh — each chunk's item rows are
+        split across devices and encoded concurrently (the reference's sweep is
+        a single-device DataLoader loop, h_semids.py:109-133)."""
+        ids = self._corpus_ids_for(jnp.asarray(item_features), sharding)
         if self.use_dedup_dim:
             ranks = duplicate_ranks(ids)
             ids = jnp.concatenate([ids, ranks[:, None]], axis=-1)

@@ -94,23 +94,30 @@ class SemanticIdTokenizer:
     def sem_ids_dim(self):
         return self.n_layers + 1 if self.use_dedup_dim else self.n_layers
 
-    def _corpus_ids_for(self, item_features):
+    def _corpus_ids_for(self, item_features, sharding=None):
         """Run the frozen quantizer over the full corpus, chunked to bound HBM."""
         n = item_features.shape[0]
         chunk = min(self.corpus_chunk_size, n)
+        if sharding is not None:
+            chunk += (-chunk) % sharding.mesh.shape["data"]
         out = []
         for start in range(0, n, chunk):
             block = item_features[start : start + chunk]
             pad = chunk - block.shape[0]
             if pad > 0:
                 block = jnp.pad(block, ((0, pad), (0, 0)))
+            if sharding is not None:
+                block = jax.device_put(block, sharding)
             ids = self._encode_ids(self.variables, block)
             out.append(ids[: block.shape[0] - pad] if pad > 0 else ids)
         return jnp.concatenate(out, axis=0)
 
-    def precompute_corpus_ids(self, item_features) -> jax.Array:
-        """Build the [n_items, sem_ids_dim] corpus table (+ dedup rank column)."""
-        sem_ids = self._corpus_ids_for(jnp.asarray(item_features))
+    def precompute_corpus_ids(self, item_features, sharding=None) -> jax.Array:
+        """Build the [n_items, sem_ids_dim] corpus table (+ dedup rank column).
+
+        Optional `sharding` (NamedSharding over a 'data' mesh axis) runs the
+        sweep data-parallel across devices; see HSemanticIdTokenizer."""
+        sem_ids = self._corpus_ids_for(jnp.asarray(item_features), sharding)
         if self.use_dedup_dim:
             ranks = duplicate_ranks(sem_ids)
             sem_ids = jnp.concatenate([sem_ids, ranks[:, None]], axis=-1)

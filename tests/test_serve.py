@@ -46,8 +46,7 @@ class TestLookupItems:
         assert idx[0] == 0  # smallest original index among duplicates
 
 
-@pytest.fixture(scope="module")
-def engine():
+def _build_engine(**engine_kwargs):
     rngs = {"params": jax.random.key(0), "gumbel": jax.random.key(1)}
     vae = RqVae(
         input_dim=F, embed_dim=D, hidden_dims=(16,), codebook_size=K,
@@ -76,10 +75,16 @@ def engine():
         {"params": jax.random.key(2), "dropout": jax.random.key(3)}, example, False
     )
     item_features = jax.random.normal(jax.random.key(20), (N_ITEMS, F))
+    engine_kwargs.setdefault("batch_buckets", (4, 8))
     return RetrievalEngine(
         model, variables["params"], tok, item_features,
-        max_seq_len=MAX_SEQ, batch_buckets=(4, 8),
+        max_seq_len=MAX_SEQ, **engine_kwargs,
     )
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return _build_engine()
 
 
 class TestRetrievalEngine:
@@ -126,3 +131,42 @@ class TestRetrievalEngine:
         out = engine.recommend(hist, top_k=2)
         assert out["items"].shape == (11, 2)
         assert (out["items"] >= 0).all()
+
+
+class TestMultiChipServing:
+    """Engine over a device mesh: requests DP-sharded over 'data', corpus
+    sweep sharded, optional TP params (conftest provisions 8 CPU devices)."""
+
+    def test_dp_matches_single_device(self, engine):
+        from hidvae_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
+        sharded = _build_engine(mesh=mesh)
+        # The sharded corpus sweep is pure row parallelism -> bit-exact table.
+        np.testing.assert_array_equal(
+            np.asarray(sharded.corpus_ids), np.asarray(engine.corpus_ids)
+        )
+        rng = np.random.RandomState(4)
+        hist = rng.randint(0, N_ITEMS, (6, 4))  # pads to bucket 8 = 1 row/chip
+        want = engine.recommend(hist, top_k=4)
+        got = sharded.recommend(hist, top_k=4)
+        np.testing.assert_array_equal(got["items"], want["items"])
+        np.testing.assert_allclose(got["scores"], want["scores"], atol=1e-5)
+
+    def test_tp_params_produce_valid_recommendations(self):
+        from hidvae_tpu.parallel.mesh import make_mesh
+
+        n = len(jax.devices())
+        mesh = make_mesh(n_data=n // 2, n_model=2)
+        sharded = _build_engine(mesh=mesh, shard_params=True)
+        # Bucket sizes round up to multiples of the data axis.
+        assert all(b % mesh.shape["data"] == 0 for b in sharded.batch_buckets)
+        rng = np.random.RandomState(5)
+        hist = rng.randint(0, N_ITEMS, (5, 4))
+        out = sharded.recommend(hist, top_k=3)
+        assert out["items"].shape == (5, 3)
+        assert (out["items"] >= 0).all()
+        corpus = np.asarray(sharded.corpus_ids)
+        np.testing.assert_array_equal(
+            corpus[out["items"].reshape(-1)], out["sem_ids"].reshape(-1, L)
+        )
