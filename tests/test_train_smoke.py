@@ -322,6 +322,79 @@ class TestTransformerTrainer:
         assert np.isfinite(r2["history"]["train_loss"]).all()
 
 
+class TestServeFromArtifacts:
+    def test_two_stage_handoff_to_engine(self, dataset_root, tmp_path):
+        """The full deployment path: train stage 1, hand its checkpoint to
+        stage 2, then rebuild the serving engine purely from the on-disk
+        artifacts (gin config + two checkpoint dirs) and serve requests —
+        the surface scripts/serve_demo.py drives in production."""
+        from hidvae_tpu.serve import RetrievalEngine
+        from hidvae_tpu.train.hidvae import train as train_s1
+        from hidvae_tpu.train.transformer import train as train_s2
+
+        s1 = train_s1(
+            iterations=2, batch_size=16, dataset_folder=dataset_root,
+            dataset=RecDataset.SYNTHETIC, save_dir_root=str(tmp_path / "s1"),
+            eval_every=2, save_model_every=2, vae_input_dim=TINY["feature_dim"],
+            vae_n_cat_feats=0, vae_hidden_dims=(32, 16), vae_embed_dim=8,
+            vae_codebook_size=32, vae_n_layers=3,
+            tag_embed_dim=TINY["tag_dim"], rare_tag_threshold=3,
+            eval_batches=1, make_plots=False, do_eval=False,
+        )
+        s1_ckpt = s1["saved_paths"][-1]
+        counts = list(s1["tag_class_counts"])
+
+        s2 = train_s2(
+            iterations=2, batch_size=8, dataset_folder=dataset_root,
+            dataset=RecDataset.SYNTHETIC, save_dir_root=str(tmp_path / "s2"),
+            partial_eval_every=10_000, full_eval_every=10_000,
+            save_model_every=2, pretrained_rqvae_path=s1_ckpt,
+            vae_input_dim=TINY["feature_dim"], vae_n_cat_feats=0,
+            vae_hidden_dims=(32, 16), vae_embed_dim=8, vae_codebook_size=32,
+            vae_n_layers=3, use_h_tokenizer=True, tag_embed_dim=TINY["tag_dim"],
+            tag_class_counts=counts,
+            decoder_embed_dim=16, attn_embed_dim=32, attn_heads=2, attn_layers=2,
+            eval_batches=1, log_every=1, make_plots=False,
+        )
+        s2_ckpt = s2["saved_paths"][-1]
+
+        gin_path = str(tmp_path / "serve.gin")
+        with open(gin_path, "w") as f:
+            f.write(
+                "import data.processed\n"
+                f'train.dataset_folder = "{dataset_root}"\n'
+                "train.dataset = %data.processed.RecDataset.SYNTHETIC\n"
+                f"train.vae_input_dim = {TINY['feature_dim']}\n"
+                "train.vae_hidden_dims = [32, 16]\n"
+                "train.vae_embed_dim = 8\n"
+                "train.vae_codebook_size = 32\n"
+                "train.vae_n_layers = 3\n"
+                "train.vae_n_cat_feats = 0\n"
+                "train.use_h_tokenizer = True\n"
+                f"train.tag_embed_dim = {TINY['tag_dim']}\n"
+                f"train.tag_class_counts = {counts}\n"
+                "train.decoder_embed_dim = 16\n"
+                "train.attn_embed_dim = 32\n"
+                "train.attn_heads = 2\n"
+                "train.attn_layers = 2\n"
+            )
+
+        engine = RetrievalEngine.from_artifacts(
+            gin_path, s1_ckpt, s2_ckpt, batch_buckets=(4,),
+        )
+        assert engine.n_items == TINY["n_items"]
+        hist = np.arange(6, dtype=np.int64).reshape(2, 3)
+        out = engine.recommend(hist, top_k=5)
+        assert out["items"].shape == (2, 5)
+        assert (out["items"] >= 0).all() and (out["items"] < engine.n_items).all()
+        # Generated tuples resolve to real corpus rows.
+        corpus = np.asarray(engine.corpus_ids)
+        np.testing.assert_array_equal(
+            corpus[out["items"].reshape(-1)],
+            out["sem_ids"].reshape(-1, engine.sem_id_dim),
+        )
+
+
 class TestGinConfigs:
     def test_all_configs_parse(self):
         from hidvae_tpu.utils.ginlite import parse_gin_file
