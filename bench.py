@@ -351,8 +351,12 @@ def main():
         pallas = verify_pallas_kernel()
         if pallas:
             details.update(pallas)
-    except AssertionError:
-        raise  # kernel drift is a real failure
+    except AssertionError as e:
+        # Kernel drift is a real failure, but the driver contract is ONE JSON
+        # line no matter what — record the drift loudly instead of dying
+        # before the primary metric is emitted (CLAUDE.md bench contract).
+        log(f"PALLAS KERNEL DRIFT: {e}")
+        details["pallas_kernel_drift"] = str(e)
     except Exception as e:
         log(f"pallas verify failed to run: {e}")
     with open("BENCH_DETAILS.json", "w") as f:

@@ -40,6 +40,10 @@ def make_mesh(
     devices = list(devices)
     if n_data is None:
         n_data = len(devices) // n_model
+    assert n_data >= 1, (
+        f"n_model={n_model} needs at least {n_model} devices, "
+        f"have {len(devices)}"
+    )
     assert n_data * n_model <= len(devices), (
         f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, "
         f"have {len(devices)}"

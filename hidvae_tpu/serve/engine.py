@@ -65,14 +65,18 @@ class RetrievalEngine:
         cfg = parse_gin_file(gin_path)["train"]
         g = cfg.get
 
+        # Defaults below mirror hidvae_tpu.train.transformer.train's signature
+        # exactly — a gin config that relies on a trainer default must produce
+        # the same stage-1/stage-2 architecture here, or the lenient restore
+        # would silently keep mismatched leaves at their random init.
         items = ItemData(
             root=cfg["dataset_folder"], dataset=cfg["dataset"],
-            train_test_split="all", split=g("dataset_split", ""),
+            train_test_split="all", split=g("dataset_split", "beauty"),
         )
         # max_seq_len must match training; it is a property of the dataset.
         max_seq_len = SeqData(
             root=cfg["dataset_folder"], dataset=cfg["dataset"],
-            subsample=False, split=g("dataset_split", ""),
+            subsample=False, split=g("dataset_split", "beauty"),
         ).max_seq_len
 
         tokenizer = _build_tokenizer(
@@ -83,7 +87,7 @@ class RetrievalEngine:
             vae_hidden_dims=tuple(cfg["vae_hidden_dims"]),
             vae_codebook_size=cfg["vae_codebook_size"],
             vae_n_layers=g("vae_n_layers", 3),
-            vae_n_cat_feats=g("vae_n_cat_feats", 0),
+            vae_n_cat_feats=g("vae_n_cat_feats", 18),
             vae_codebook_normalize=g("vae_codebook_normalize", False),
             vae_sim_vq=g("vae_sim_vq", False),
             tag_alignment_weight=g("tag_alignment_weight", 0.5),
@@ -100,7 +104,7 @@ class RetrievalEngine:
         model = EncoderDecoderRetrievalModel(
             embedding_dim=g("decoder_embed_dim", 128),
             attn_dim=g("attn_embed_dim", 512),
-            dropout=g("dropout_p", 0.3),
+            dropout=g("attn_dropout", None) or g("dropout_p", 0.3),
             num_heads=g("attn_heads", 8),
             n_layers=g("attn_layers", 8),
             num_embeddings=cfg["vae_codebook_size"],
@@ -127,6 +131,9 @@ class RetrievalEngine:
         restored = restore_checkpoint(
             stage2_checkpoint,
             {"params": variables["params"], "step": jnp.zeros((), jnp.int32)},
+        )
+        engine_kwargs.setdefault(
+            "generation_temperature", g("generation_temperature", 1.0)
         )
         return cls(
             model, restored["params"], tokenizer, items.item_features,
@@ -238,20 +245,14 @@ class RetrievalEngine:
 
         @jax.jit
         def step(params, cached_ids, sorted_ids, perm, user_ids, items):
-            b, n = items.shape
-            safe = jnp.where((items >= 0) & (items < cached_ids.shape[0]), items, 0)
-            sem = jnp.take(cached_ids, safe, axis=0).reshape(b, n * d)
-            mask = jnp.repeat(items >= 0, d, axis=1)
-            batch = TokenizedSeqBatch(
-                user_ids=user_ids,
-                sem_ids=jnp.where(mask, sem, -1),
-                sem_ids_fut=jnp.zeros((b, d), jnp.int32),
-                seq_mask=mask,
-                token_type_ids=jnp.tile(jnp.arange(d, dtype=jnp.int32), (b, n)),
-                token_type_ids_fut=jnp.tile(
-                    jnp.arange(d, dtype=jnp.int32), (b, 1)
-                ),
-            )
+            from hidvae_tpu.train.device_data import tokenize_on_device
+
+            b = items.shape[0]
+            # Same gather the trainers use; the future side is a dummy BOS
+            # placeholder (generation fills the digits).
+            batch = tokenize_on_device(
+                cached_ids, user_ids, items, fut=jnp.zeros((b,), jnp.int32)
+            ).replace(sem_ids_fut=jnp.zeros((b, d), jnp.int32))
             out = model.apply(
                 {"params": params}, batch, sorted_ids,
                 temperature=temperature, prefix_caps=caps,
@@ -279,14 +280,24 @@ class RetrievalEngine:
         top_k: number of items to return per user (<= beam width 32).
 
         Returns a dict with:
-          items      [B, top_k] int32 corpus item indices (-1 = unresolved;
-                     cannot happen while generation is corpus-constrained)
+          items      [B, top_k] int32 corpus item indices. -1 = unresolved:
+                     rare, but possible when fewer than top_k distinct valid
+                     tuples are reachable (tiny corpora) — beams that never
+                     found a valid range resolve to no item.
           sem_ids    [B, top_k, D] the generated semantic-ID tuples
           scores     [B, top_k] beam log-probabilities (descending)
           latency_s  wall-clock seconds for the device step(s)
         """
         items = self._pad_histories(histories)
         b = items.shape[0]
+        if b == 0:
+            d = self.sem_id_dim
+            return {
+                "items": np.zeros((0, top_k), np.int32),
+                "sem_ids": np.zeros((0, top_k, d), np.int32),
+                "scores": np.zeros((0, top_k), np.float32),
+                "latency_s": 0.0,
+            }
         uids = (
             np.zeros((b,), np.int32)
             if user_ids is None

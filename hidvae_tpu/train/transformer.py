@@ -342,6 +342,24 @@ def train(
         params = jax.tree_util.tree_map(jax.device_put, params, shardings)
         if opt_state is None:
             opt_state = tx.init(params)
+        else:
+            # Resumed opt_state was restored unsharded; re-lay the Adam
+            # moments out like the (now TP-sharded) params so resume keeps
+            # the same HBM footprint as a fresh TP run. Scalar leaves (step
+            # counts) replicate — their reference sharding is an uncommitted
+            # single-device placement, not a mesh layout.
+            from jax.sharding import NamedSharding
+
+            ref = tx.init(params)
+            opt_state = jax.tree_util.tree_map(
+                lambda leaf, r: jax.device_put(
+                    leaf,
+                    r.sharding
+                    if isinstance(r.sharding, NamedSharding)
+                    else r_shard,
+                ),
+                opt_state, ref,
+            )
         logger.info(f"Tensor-parallel params over {n_model_shards} shards")
 
     state = TrainState(

@@ -232,3 +232,44 @@ class TestTrainerMultiDevice:
             and getattr(path[-1], "key", "") == "kernel"
         ]
         assert any("model" in tuple(s) for s in ff_specs), ff_specs
+
+    def test_transformer_tensor_parallel_resume_reshards_opt_state(
+        self, dataset_root, tmp_path
+    ):
+        """Resuming under TP must re-lay the restored Adam moments out like
+        the sharded params (they are saved/restored unsharded)."""
+        from hidvae_tpu.train.transformer import train
+        from hidvae_tpu.data.processed import RecDataset
+
+        common = dict(
+            batch_size=8, dataset_folder=dataset_root,
+            dataset=RecDataset.SYNTHETIC, save_dir_root=str(tmp_path / "out"),
+            partial_eval_every=10_000, full_eval_every=10_000,
+            save_model_every=2,
+            vae_input_dim=32, vae_n_cat_feats=0, vae_hidden_dims=(32, 16),
+            vae_embed_dim=8, vae_codebook_size=32, vae_n_layers=3,
+            use_h_tokenizer=True, tag_embed_dim=16, tag_class_counts=[4, 8, 16],
+            decoder_embed_dim=16, attn_embed_dim=32, attn_heads=2, attn_layers=2,
+            eval_batches=1, log_every=2, make_plots=False,
+            n_model_shards=2,
+        )
+        r1 = train(iterations=2, **common)
+        r2 = train(
+            iterations=2, pretrained_decoder_path=r1["saved_paths"][-1],
+            **common,
+        )
+        assert np.isfinite(r2["history"]["train_loss"]).all()
+
+        def moment_specs(opt_state):
+            return [
+                tuple(leaf.sharding.spec)
+                for leaf in jax.tree_util.tree_leaves(opt_state)
+                if hasattr(leaf, "sharding") and leaf.ndim >= 2
+            ]
+
+        fresh, resumed = (
+            moment_specs(r1["state"].opt_state),
+            moment_specs(r2["state"].opt_state),
+        )
+        assert resumed == fresh
+        assert any("model" in s for s in resumed), resumed
