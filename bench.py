@@ -135,7 +135,8 @@ def measure_stage2_seqs_per_sec(batch_size=256, steps=60):
     return sps, ups
 
 
-def measure_stage1_items_per_sec(batch_size=256, steps=500, warmup=3):
+def measure_stage1_items_per_sec(batch_size=256, steps=500, warmup=3,
+                                 amp=False):
     """Steady-state stage-1 training throughput at the reference's Amazon
     config (fp32, amp off — the reference's own default,
     /root/reference/train_hidvae.py:77). `steps` matches the trainer's real
@@ -154,6 +155,7 @@ def measure_stage1_items_per_sec(batch_size=256, steps=500, warmup=3):
 
     log(f"devices: {jax.devices()}")
     model = HRqVae(
+        dtype=jnp.bfloat16 if amp else jnp.float32,
         input_dim=768,
         embed_dim=32,
         hidden_dims=(512, 256, 128),
@@ -339,6 +341,13 @@ def main():
     configure_runtime()
     ips = measure_stage1_items_per_sec()
     details = {"stage1_items_per_sec": round(ips, 1)}
+    try:
+        # Secondary: AMP (bf16 matmuls) variant of the same step — the knob
+        # configs/h_rqvae_*.gin expose as train.amp (ref train_hidvae.py:77).
+        ips_amp = measure_stage1_items_per_sec(amp=True)
+        details["stage1_amp_items_per_sec"] = round(ips_amp, 1)
+    except Exception as e:
+        log(f"stage1 amp bench failed: {e}")
     try:
         sps, ups = measure_stage2_seqs_per_sec()
         details.update({
