@@ -152,6 +152,65 @@ class TestDistributedInit:
         assert res.returncode == 0, res.stderr[-2000:]
         assert "DIST_OK 8.0 0" in res.stdout
 
+    def test_two_process_dp_train_step(self):
+        """REAL multi-host semantics: two OS processes, 2 CPU devices each,
+        Gloo collectives between them. Both ranks run one DP-sharded stage-1
+        train step over the 4-device global mesh (each contributing its local
+        batch shard) and must agree with each other exactly and with a
+        single-process run of the identical step (tests/_dist_common.py) to
+        float tolerance. Covers the reference's multi-node Accelerate DDP
+        surface (SURVEY §2.7) end-to-end, not just the init call."""
+        import re
+        import socket
+        import subprocess
+        import sys
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        procs = []
+        for pid in range(2):
+            env = dict(os.environ)
+            env.update(
+                JAX_PLATFORMS="cpu",
+                XLA_FLAGS="--xla_force_host_platform_device_count=2",
+                JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache",
+                HIDVAE_DISTRIBUTED="1",
+                HIDVAE_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                HIDVAE_NUM_PROCESSES="2",
+                HIDVAE_PROCESS_ID=str(pid),
+                # Match this (conftest-sanitized) process's default PRNG so
+                # the in-test reference loss is comparable.
+                HIDVAE_PRNG_IMPL="threefry2x32",
+                PYTHONPATH=repo,
+            )
+            for key in ("PALLAS_AXON_POOL_IPS", "AXON_LOOPBACK_RELAY",
+                        "PALLAS_AXON_REMOTE_COMPILE"):
+                env.pop(key, None)
+            procs.append(subprocess.Popen(
+                [sys.executable, os.path.join(repo, "tests", "_dist_worker.py")],
+                env=env, cwd=repo, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True,
+            ))
+        outs = [p.communicate(timeout=600) for p in procs]
+        losses = {}
+        for p, (out, err) in zip(procs, outs):
+            assert p.returncode == 0, err[-3000:]
+            m = re.search(r"DIST_LOSS (\d) ([\d.]+)", out)
+            assert m, out
+            losses[int(m.group(1))] = float(m.group(2))
+        assert set(losses) == {0, 1}
+        # Replicated loss: bit-identical across ranks.
+        assert losses[0] == losses[1], losses
+
+        # Single-process reference over 4 of this process's virtual devices.
+        from tests._dist_common import run_one_step
+
+        ref = run_one_step(jax.devices()[:4])
+        np.testing.assert_allclose(losses[0], ref, rtol=1e-4)
+
 
 class TestTrainerMultiDevice:
     """VERDICT #6: real trainer runs on the 8-device mesh, not just one-step
