@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--stage2", required=True, help="stage-2 (decoder) checkpoint dir")
     ap.add_argument("--users", type=int, default=8, help="number of eval users to serve")
     ap.add_argument("--top-k", type=int, default=10)
+    ap.add_argument(
+        "--sweep", default=None,
+        help="comma-separated request sizes; measures a latency/throughput "
+             "row per size (e.g. --sweep 8,32,64,128)",
+    )
     args = ap.parse_args()
 
     from hidvae_tpu.utils.runtime import configure_runtime
@@ -86,6 +91,21 @@ def main():
               f"-> top-{args.top_k} {rec.tolist()} "
               f"(target {targets[u]}, {'HIT' if hit else 'miss'})")
     print(f"hit@{args.top_k}: {hits}/{args.users}")
+
+    if args.sweep:
+        sizes = [int(s) for s in args.sweep.split(",")]
+        print("\nbucket sweep (steady-state, median of 5):", file=sys.stderr)
+        for b in sizes:
+            if b not in engine.batch_buckets:
+                engine.batch_buckets = tuple(sorted({*engine.batch_buckets, b}))
+            sb = test_seq.batch(np.arange(b) % len(test_seq), rng)
+            h = np.asarray(sb.ids)
+            engine.recommend(h, top_k=args.top_k)  # compile
+            lats = [engine.recommend(h, top_k=args.top_k)["latency_s"]
+                    for _ in range(5)]
+            lat = float(np.median(lats))
+            print(f"  {b:4d} users: {lat * 1e3:7.1f} ms  "
+                  f"({b / lat:7.0f} users/s)", file=sys.stderr)
 
 
 if __name__ == "__main__":
