@@ -264,6 +264,34 @@ class TestKuaiRand:
         few = build_kuairand(kuairand_raw, min_user_interactions=26, max_seq_len=10)
         assert len(np.unique(few.seq_users)) <= len(np.unique(many.seq_users))
 
+    def test_synthetic_raw_generator_through_builder(self, tmp_path):
+        """scripts/make_synthetic_kuairand.py output must survive the real
+        builder with the reference's tag-vocab budget ([37,168,353],
+        configs/h_rqvae_kuairand.gin:35) and learnable splits."""
+        import scripts.make_synthetic_kuairand as gen
+
+        gen.main(str(tmp_path), n_videos=400, n_users=60, seed=0)
+        arrays = build_kuairand(str(tmp_path), min_user_interactions=20)
+        n_items = arrays.item_features.shape[0]
+        assert 200 < n_items <= 400  # filters drop some, never-clicked dropped
+        # Vocab ranks stay inside the reference head sizes.
+        assert arrays.tags_indices[:, 0].max() < 37
+        assert arrays.tags_indices[:, 1].max() < 168
+        assert arrays.tags_indices[:, 2].max() < 353
+        # Three-way leave-one-out split present with equal row counts.
+        for code in (0, 1, 2):
+            assert (arrays.seq_split == code).sum() > 0
+        assert (arrays.seq_split == 0).sum() == (arrays.seq_split == 2).sum()
+        assert arrays.seq_items.shape[1] == 40  # KUAIRAND max_seq_len
+        # Captions cluster by category: hash embeddings of same-L1 items are
+        # closer than cross-L1 on average (residual token structure works).
+        f = arrays.item_features
+        l1 = arrays.tags_indices[:, 0]
+        sims = f @ f.T
+        same = sims[l1[:, None] == l1[None, :]].mean()
+        cross = sims[l1[:, None] != l1[None, :]].mean()
+        assert same > cross + 0.1
+
 
 class TestTagCompletion:
     def _toy(self):
