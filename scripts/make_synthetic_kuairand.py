@@ -31,10 +31,15 @@ import pandas as pd
 N_L1, N_L2, N_L3 = 37, 168, 353  # ref configs/h_rqvae_kuairand.gin:35
 
 
+def _zipf(n: int, a: float, s: float) -> np.ndarray:
+    w = 1.0 / (np.arange(n) + a) ** s
+    return w / w.sum()
+
+
 def main(
     root: str = "dataset/kuairand",
-    n_videos: int = 12_000,
-    n_users: int = 1_200,
+    n_videos: int = 20_000,
+    n_users: int = 4_000,
     seed: int = 42,
 ) -> str:
     n_videos, n_users = int(n_videos), int(n_users)
@@ -49,12 +54,28 @@ def main(
     l2_names = [f"L2_{i:03d}" for i in range(N_L2)]
     l3_names = [f"L3_{i:03d}" for i in range(N_L3)]
 
-    # --- videos: Zipf-skewed leaf assignment (rare-tag remap gets work) ---
-    l3_weights = 1.0 / (np.arange(N_L3) + 10.0)
-    l3_weights /= l3_weights.sum()
-    vid_l3 = rng.choice(N_L3, n_videos, p=l3_weights)
-    vid_l2 = l3_parent[vid_l3]
-    vid_l1 = l2_parent[vid_l2]
+    # --- videos: hierarchically compounding Zipf skew, so that each level
+    # keeps a handful of classes above the reference's rare_tag_threshold=400
+    # (configs/h_rqvae_kuairand.gin:42) while the long tail exercises the
+    # rare-tag remap. Flat per-leaf skew would average out at L1/L2 and remap
+    # every class to the special bucket.
+    l2_children = [np.nonzero(l2_parent == i)[0] for i in range(N_L1)]
+    l3_children = [np.nonzero(l3_parent == j)[0] for j in range(N_L2)]
+    vid_l1 = rng.choice(N_L1, n_videos, p=_zipf(N_L1, 1.2, 1.3))
+    vid_l2 = np.empty(n_videos, np.int64)
+    vid_l3 = np.empty(n_videos, np.int64)
+    for i in range(N_L1):
+        m = vid_l1 == i
+        kids = l2_children[i]
+        vid_l2[m] = kids[rng.choice(len(kids), m.sum(),
+                                    p=_zipf(len(kids), 0.8, 1.6))]
+    for j in range(N_L2):
+        m = vid_l2 == j
+        if not m.any():
+            continue
+        kids = l3_children[j]
+        vid_l3[m] = kids[rng.choice(len(kids), m.sum(),
+                                    p=_zipf(len(kids), 0.6, 2.0))]
 
     captions, cat_rows = [], []
     for v in range(n_videos):
