@@ -207,6 +207,14 @@ def train(
     from hidvae_tpu.utils.runtime import configure_runtime
 
     configure_runtime()
+    # Fail on impossible layout combos BEFORE data loading / TPU session
+    # setup — the tokenizer would raise the same error minutes later.
+    if use_h_tokenizer and use_dedup_dim and use_interleaved_ids:
+        raise ValueError(
+            "use_dedup_dim and use_interleaved_ids are mutually exclusive for "
+            "the hierarchical tokenizer (dedup ranks are a plain-SemanticID "
+            "feature; ref modules/tokenizer/h_semids.py layouts)"
+        )
     if attn_dropout is not None:
         dropout_p = attn_dropout
     time_stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
