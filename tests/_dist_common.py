@@ -76,5 +76,21 @@ def run_one_step(devices) -> float:
 
     step = jax.jit(make_train_step(model, tx, None, 0.2))
     xg, teg, tig = put_batch(x), put_batch(te), put_batch(ti)
-    _, metrics = step(state, xg, teg, tig, jax.random.key(11))
+    key = jax.random.key(11)
+    if jax.process_count() > 1:
+        # Compile before communicating: XLA:CPU's Gloo collectives have a
+        # hardcoded ~30s timeout, and on a loaded single-core host the two
+        # workers' independent compiles can skew arrival at the first
+        # collective past it. AOT-compile (no comms), then rendezvous at a
+        # coordination-service barrier (gRPC, generous timeout) so both ranks
+        # enter the collective within milliseconds.
+        from jax._src import distributed
+
+        compiled = step.lower(state, xg, teg, tig, key).compile()
+        distributed.global_state.client.wait_at_barrier(
+            "hidvae_dist_test_compiled", 600_000
+        )
+        _, metrics = compiled(state, xg, teg, tig, key)
+    else:
+        _, metrics = step(state, xg, teg, tig, key)
     return float(metrics["loss"])
