@@ -170,3 +170,78 @@ class TestMultiChipServing:
         np.testing.assert_array_equal(
             corpus[out["items"].reshape(-1)], out["sem_ids"].reshape(-1, L)
         )
+
+
+class TestInterleavedHServing:
+    """Serving with the H tokenizer in the interleaved [s1,t1,s2,t2,s3,t3]
+    layout — the reference's KuaiRand deployment shape
+    (/root/reference/configs/decoder_kuairand.gin)."""
+
+    def test_recommendations_resolve_in_corpus(self):
+        from hidvae_tpu.models.hrqvae import HRqVae
+        from hidvae_tpu.tokenizer import HSemanticIdTokenizer
+
+        tag_counts = (4, 6, 8)
+        vae = HRqVae(
+            input_dim=F, embed_dim=D, hidden_dims=(16,), codebook_size=K,
+            n_layers=L, n_cat_features=0, tag_class_counts=tag_counts,
+            tag_embed_dim=12, codebook_mode=QuantizeForwardMode.STE,
+        )
+        x = jax.random.normal(jax.random.key(10), (4, F))
+        te = jax.random.normal(jax.random.key(11), (4, L, 12))
+        ti = jnp.zeros((4, L), jnp.int32)
+        vae_vars = vae.init(
+            {"params": jax.random.key(0), "gumbel": jax.random.key(1),
+             "dropout": jax.random.key(2), "mixup": jax.random.key(3)},
+            x, te, ti, 0.2, train=False,
+        )
+        tok = HSemanticIdTokenizer(
+            vae, vae_vars, n_layers=L, codebook_size=K,
+            tag_class_counts=tag_counts, use_interleaved_ids=True,
+        )
+        d = tok.sem_ids_dim
+        assert d == 2 * L
+
+        model = EncoderDecoderRetrievalModel(
+            embedding_dim=16, attn_dim=32, dropout=0.1, num_heads=4,
+            n_layers=2, num_embeddings=K, sem_id_dim=d, max_pos=MAX_SEQ * d,
+            n_sem_layers=L, use_interleaved_ids=True,
+        )
+        from hidvae_tpu.data.schemas import TokenizedSeqBatch
+
+        t = MAX_SEQ * d
+        example = TokenizedSeqBatch(
+            user_ids=jnp.zeros((2,), jnp.int32),
+            sem_ids=jnp.zeros((2, t), jnp.int32),
+            sem_ids_fut=jnp.zeros((2, d), jnp.int32),
+            seq_mask=jnp.ones((2, t), bool),
+            token_type_ids=jnp.tile(jnp.arange(d, dtype=jnp.int32), (2, MAX_SEQ)),
+            token_type_ids_fut=jnp.tile(jnp.arange(d, dtype=jnp.int32), (2, 1)),
+        )
+        variables = model.init(
+            {"params": jax.random.key(2), "dropout": jax.random.key(3)},
+            example, False,
+        )
+        item_features = jax.random.normal(jax.random.key(20), (N_ITEMS, F))
+        engine = RetrievalEngine(
+            model, variables["params"], tok, item_features,
+            max_seq_len=MAX_SEQ, batch_buckets=(4,),
+        )
+        assert engine.sem_id_dim == d
+        # Interleaved layouts cap tag digits at their class counts.
+        assert engine.prefix_caps is not None
+
+        rng = np.random.RandomState(1)
+        hist = rng.randint(0, N_ITEMS, (3, 4))
+        out = engine.recommend(hist, top_k=5)
+        assert out["items"].shape == (3, 5)
+        assert out["sem_ids"].shape == (3, 5, d)
+        corpus = np.asarray(engine.corpus_ids)
+        resolved = out["items"]
+        assert (resolved >= 0).any()
+        for r in range(3):
+            for j in range(5):
+                if resolved[r, j] >= 0:
+                    np.testing.assert_array_equal(
+                        corpus[resolved[r, j]], out["sem_ids"][r, j]
+                    )
