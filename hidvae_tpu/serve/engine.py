@@ -64,6 +64,12 @@ class RetrievalEngine:
 
         cfg = parse_gin_file(gin_path)["train"]
         g = cfg.get
+        # Mirror the trainer's layout normalization: interleaving is a tagged
+        # (H-tokenizer) layout; the plain route ignores the flag (PARITY.md #12,
+        # ref committed decoder_kuairand.gin quirk).
+        use_interleaved = bool(
+            g("use_interleaved_ids", False) and g("use_h_tokenizer", True)
+        )
 
         # Defaults below mirror hidvae_tpu.train.transformer.train's signature
         # exactly — a gin config that relies on a trainer default must produce
@@ -96,7 +102,7 @@ class RetrievalEngine:
             tag_embed_dim=g("tag_embed_dim", 768),
             use_dedup_dim=g("use_dedup_dim", False),
             use_concatenated_ids=g("use_concatenated_ids", False),
-            use_interleaved_ids=g("use_interleaved_ids", False),
+            use_interleaved_ids=use_interleaved,
             commitment_weight=g("commitment_weight", 0.25),
             rng=jax.random.key(0),
         )
@@ -111,7 +117,7 @@ class RetrievalEngine:
             sem_id_dim=d,
             max_pos=max_seq_len * d,
             n_sem_layers=g("vae_n_layers", 3),
-            use_interleaved_ids=g("use_interleaved_ids", False),
+            use_interleaved_ids=use_interleaved,
         )
         t = max_seq_len * d
         example = TokenizedSeqBatch(

@@ -215,6 +215,19 @@ def train(
             "the hierarchical tokenizer (dedup ranks are a plain-SemanticID "
             "feature; ref modules/tokenizer/h_semids.py layouts)"
         )
+    if not use_h_tokenizer and use_interleaved_ids:
+        # The reference's committed decoder_kuairand.gin sets
+        # use_interleaved_ids=True together with use_h_tokenizer=False, but the
+        # plain tokenizer has no tags to interleave; taking the flag literally
+        # would map the dedup digit past the tag table and embed it as padding.
+        # Deviation (PARITY.md #12): ignore interleaving on the plain route so
+        # the dedup digit keeps its tag-slot embedding.
+        logger.warning(
+            "use_interleaved_ids=True has no effect with the plain tokenizer "
+            "(no tags to interleave; ref committed decoder_kuairand.gin quirk) "
+            "— ignoring it"
+        )
+        use_interleaved_ids = False
     if attn_dropout is not None:
         dropout_p = attn_dropout
     time_stamp = datetime.now().strftime("%Y%m%d_%H%M%S")

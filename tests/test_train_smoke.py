@@ -287,6 +287,30 @@ class TestTransformerTrainer:
         assert "h@10_slice_:4" in full
         assert hist["test_eval_metrics"] is not None
 
+    def test_plain_tokenizer_ignores_interleaved_flag(self, dataset_root, tmp_path):
+        """The reference's committed decoder_kuairand.gin combines
+        use_h_tokenizer=False + use_dedup_dim=True + use_interleaved_ids=True;
+        the plain route must ignore the interleaved flag (no tags to
+        interleave) rather than embed the dedup digit as padding
+        (PARITY.md deviation #12)."""
+        from hidvae_tpu.train.transformer import train
+
+        result = train(
+            iterations=2, batch_size=8, dataset_folder=dataset_root,
+            dataset=RecDataset.SYNTHETIC, save_dir_root=str(tmp_path / "out"),
+            partial_eval_every=2, full_eval_every=2, save_model_every=10,
+            vae_input_dim=TINY["feature_dim"], vae_n_cat_feats=0,
+            vae_hidden_dims=(32, 16), vae_embed_dim=8, vae_codebook_size=32,
+            vae_n_layers=3, use_h_tokenizer=False, use_dedup_dim=True,
+            use_interleaved_ids=True,
+            decoder_embed_dim=16, attn_embed_dim=32, attn_heads=2, attn_layers=2,
+            eval_batches=1, log_every=1, make_plots=False,
+        )
+        hist = result["history"]
+        assert np.isfinite(hist["train_loss"]).all()
+        # Same 4-digit layout as the dedup run — interleaving changed nothing.
+        assert "h@10_slice_:4" in hist["full_eval_metrics"][-1]
+
     def test_decoder_resume(self, dataset_root, tmp_path):
         """pretrained_decoder_path restores stage-2 weights (ref
         train_transformer.py:366-375)."""
