@@ -237,6 +237,127 @@ def restore_checkpoint(path: str, example_payload: dict, *, lenient: bool = True
     return restored
 
 
+def log_operative_config(logger, values: dict):
+    """Log every bound trainer argument at startup — the analogue of gin's
+    operative-config dump (the reference relies on gin_config_to_readable_dict
+    + wandb for this; ref utils.py:47-62). One line, sorted, so a run's exact
+    configuration is always recoverable from its train.log."""
+    import enum
+
+    items = []
+    for k in sorted(values):
+        if k.startswith("_"):
+            continue
+        v = values[k]
+        if isinstance(v, (bool, int, float, str, list, tuple, type(None), enum.Enum)):
+            items.append(f"{k}={v!r}")
+    logger.info("operative config: " + " ".join(items))
+
+
+# ---------------- structural model config ----------------
+
+# Fields of the stage-1 VAE whose values change forward semantics or parameter
+# shapes. A stage-2 run MUST build its frozen tokenizer with the exact values
+# the checkpoint was trained with — a mismatch in e.g. codebook_normalize
+# keeps every parameter shape identical (so a lenient restore succeeds
+# silently) while making every quantizer distance computation wrong, which
+# collapses the corpus ID table. The reference has the same hazard: its
+# committed decoder_kuairand.gin omits flags its stage-1 h_rqvae_kuairand.gin
+# sets (ref configs/decoder_kuairand.gin vs h_rqvae_kuairand.gin).
+STRUCTURAL_VAE_KEYS = (
+    "input_dim",
+    "embed_dim",
+    "hidden_dims",
+    "codebook_size",
+    "codebook_normalize",
+    "codebook_sim_vq",
+    "n_layers",
+    "n_cat_features",
+    "tag_class_counts",
+    "tag_embed_dim",
+)
+
+
+def structural_model_config(model) -> dict:
+    """Extract the structural config of an RqVae/HRqVae as JSON-native values."""
+    cfg = {}
+    for key in STRUCTURAL_VAE_KEYS:
+        if not hasattr(model, key):
+            continue
+        v = getattr(model, key)
+        if isinstance(v, (tuple, list)):
+            v = [int(x) for x in v]
+        elif isinstance(v, (np.integer, jnp.integer)):
+            v = int(v)
+        cfg[key] = v
+    return cfg
+
+
+def load_checkpoint_meta(path: str) -> dict:
+    """Read <path>/meta.json ({model_config, metrics}), or {} if absent."""
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        return {}
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def load_checkpoint_model_config(path: str):
+    """Read model_config from <path>/meta.json, or None if absent."""
+    return load_checkpoint_meta(path).get("model_config")
+
+
+def reconcile_vae_config(pretrained_path: str, requested: dict, logger=None) -> dict:
+    """Overlay the checkpoint's recorded structural config onto the requested one.
+
+    `requested` maps STRUCTURAL_VAE_KEYS names to the values the caller (gin
+    config / CLI) asked for. Any key the checkpoint's meta.json records wins;
+    every difference is logged loudly. Keys the checkpoint doesn't record
+    (e.g. old 4-field meta files) keep the requested values.
+
+    This is the self-heal that prevents silently rebuilding the frozen stage-1
+    tokenizer with different forward semantics than it was trained with
+    (ref train_transformer.py:222-270 trusts gin blindly and has the same
+    failure mode; deviation documented in PARITY.md).
+    """
+    import logging
+
+    log = logger or logging.getLogger("hidvae_tpu.checkpoint")
+    saved = load_checkpoint_model_config(pretrained_path)
+    if not saved:
+        return dict(requested)
+
+    def norm(v):
+        if isinstance(v, (tuple, list)):
+            return [int(x) for x in v]
+        if isinstance(v, bool):
+            return v
+        if isinstance(v, str):
+            # Legacy meta files stored values stringified.
+            low = v.strip().lower()
+            if low in ("true", "false"):
+                return low == "true"
+            try:
+                return int(v)
+            except ValueError:
+                return v
+        return v
+
+    out = dict(requested)
+    for key, want in requested.items():
+        if key not in saved:
+            continue
+        have = norm(saved[key])
+        if norm(want) != have:
+            log.warning(
+                f"pretrained checkpoint {pretrained_path} was trained with "
+                f"{key}={have!r} but the config requests {key}={want!r}; "
+                f"using the checkpoint's value (structural self-heal)"
+            )
+            out[key] = have
+    return out
+
+
 # ---------------- diversity metrics ----------------
 
 

@@ -33,10 +33,12 @@ from hidvae_tpu.tokenizer.h_semids import HSemanticIdTokenizer
 from hidvae_tpu.train.common import (
     TrainState,
     id_diversity_metrics,
+    log_operative_config,
     make_lr_schedule,
     make_optimizer,
     restore_checkpoint,
     save_checkpoint,
+    structural_model_config,
 )
 from hidvae_tpu.train.init import kmeans_init_codebooks
 from hidvae_tpu.train.tags import (
@@ -292,6 +294,7 @@ def train(
     time_stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
     save_dir = os.path.join(save_dir_root, f"hrqvae_{dataset.name}_{time_stamp}")
     _setup_logging(save_dir)
+    log_operative_config(logger, dict(locals()))
 
     rng = jax.random.key(seed)
     np_rng = np.random.RandomState(seed)
@@ -704,10 +707,11 @@ def _save(save_dir, name, state, model, eval_metrics, rep):
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
-        "model_config": {
-            k: str(getattr(model, k))
-            for k in ("input_dim", "embed_dim", "codebook_size", "n_layers")
-        },
+        # Full structural config so stage 2 can rebuild the frozen tokenizer
+        # with the exact forward semantics it was trained with
+        # (common.reconcile_vae_config; ref train_rqvae.py:302-313 saves
+        # model_config for the same purpose).
+        "model_config": structural_model_config(model),
         "metrics": {**eval_metrics, "repetition_rate": rep},
     }
     return save_checkpoint(save_dir, name, payload)

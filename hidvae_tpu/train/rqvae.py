@@ -25,10 +25,12 @@ from hidvae_tpu.tokenizer.semids import SemanticIdTokenizer
 from hidvae_tpu.train.common import (
     TrainState,
     id_diversity_metrics,
+    log_operative_config,
     make_lr_schedule,
     make_optimizer,
     restore_checkpoint,
     save_checkpoint,
+    structural_model_config,
 )
 from hidvae_tpu.train.init import kmeans_init_codebooks
 
@@ -81,6 +83,7 @@ def train(
     from hidvae_tpu.train.hidvae import _setup_logging
 
     _setup_logging(save_dir)
+    log_operative_config(logger, dict(locals()))
 
     rng = jax.random.key(seed)
     np_rng = np.random.RandomState(seed)
@@ -318,10 +321,7 @@ def train(
                 "step": state.step,
                 "params": state.params,
                 "opt_state": state.opt_state,
-                "model_config": {
-                    "input_dim": vae_input_dim, "embed_dim": vae_embed_dim,
-                    "codebook_size": vae_codebook_size, "n_layers": vae_n_layers,
-                },
+                "model_config": structural_model_config(model),
                 "metrics": {},
             }
             saved_paths.append(save_checkpoint(save_dir, f"checkpoint_{it - 1}", payload))

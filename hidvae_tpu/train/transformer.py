@@ -36,7 +36,10 @@ from hidvae_tpu.train.common import (
     TrainState,
     id_diversity_metrics,
     inverse_sqrt_schedule,
+    log_operative_config,
+    load_checkpoint_meta,
     make_optimizer,
+    reconcile_vae_config,
     restore_checkpoint,
     save_checkpoint,
 )
@@ -68,7 +71,44 @@ def _build_tokenizer(
     rng,
 ):
     """Instantiate the frozen stage-1 model + tokenizer service
-    (ref train_transformer.py:222-270)."""
+    (ref train_transformer.py:222-270).
+
+    Structural VAE params are reconciled against the checkpoint's recorded
+    model_config before the model is built: a decoder config that omits e.g.
+    vae_codebook_normalize (the reference's committed decoder_kuairand.gin
+    does, while its stage 1 sets it) would otherwise rebuild the quantizer
+    with wrong distance semantics — identical parameter shapes, silently
+    collapsed corpus IDs. Checkpoint values win, loudly.
+    """
+    if pretrained_rqvae_path is not None:
+        rec = reconcile_vae_config(
+            pretrained_rqvae_path,
+            {
+                "input_dim": vae_input_dim,
+                "embed_dim": vae_embed_dim,
+                "hidden_dims": list(vae_hidden_dims),
+                "codebook_size": vae_codebook_size,
+                "codebook_normalize": vae_codebook_normalize,
+                "codebook_sim_vq": vae_sim_vq,
+                "n_layers": vae_n_layers,
+                "n_cat_features": vae_n_cat_feats,
+                "tag_class_counts": (
+                    list(tag_class_counts) if tag_class_counts is not None else None
+                ),
+                "tag_embed_dim": tag_embed_dim,
+            },
+            logger,
+        )
+        vae_input_dim = rec["input_dim"]
+        vae_embed_dim = rec["embed_dim"]
+        vae_hidden_dims = rec["hidden_dims"]
+        vae_codebook_size = rec["codebook_size"]
+        vae_codebook_normalize = rec["codebook_normalize"]
+        vae_sim_vq = rec["codebook_sim_vq"]
+        vae_n_layers = rec["n_layers"]
+        vae_n_cat_feats = rec["n_cat_features"]
+        tag_class_counts = rec["tag_class_counts"]
+        tag_embed_dim = rec["tag_embed_dim"]
     if use_h_tokenizer:
         model = build_hrqvae(
             vae_input_dim=vae_input_dim,
@@ -235,6 +275,7 @@ def train(
     from hidvae_tpu.train.hidvae import _setup_logging
 
     _setup_logging(save_dir)
+    log_operative_config(logger, dict(locals()))
 
     rng = jax.random.key(seed)
     np_rng = np.random.RandomState(seed)
@@ -282,6 +323,11 @@ def train(
         commitment_weight=commitment_weight,
         rng=tok_rng,
     )
+    # Adopt the checkpoint-reconciled structural values (see _build_tokenizer):
+    # the audit slicing and the decoder's ID-embedding table must use the
+    # tokenizer's actual geometry, not the possibly-stale gin values.
+    vae_codebook_size = tokenizer.codebook_size
+    vae_n_layers = tokenizer.n_layers
     corpus_ids = tokenizer.precompute_corpus_ids(item_dataset.item_features)
     sem_id_dim = tokenizer.sem_ids_dim
     logger.info(f"Corpus table: {corpus_ids.shape}, sem_ids_dim={sem_id_dim}")
@@ -302,6 +348,24 @@ def train(
             np.asarray(corpus_ids)[:, sem_cols], vae_codebook_size, vae_n_layers
         )
         logger.info(f"Semantic-only slice diversity: {sem_only}")
+    # Collapse guard: if the stage-1 checkpoint recorded a healthy repetition
+    # rate but the rebuilt tokenizer's corpus is degenerate, the tokenizer was
+    # rebuilt wrong (structural mismatch the meta didn't cover, corrupted
+    # restore, wrong item features). Training a decoder against a collapsed
+    # corpus silently inflates every retrieval metric — fail instead.
+    if pretrained_rqvae_path is not None:
+        recorded = load_checkpoint_meta(pretrained_rqvae_path).get("metrics", {})
+        recorded_rep = recorded.get("repetition_rate")
+        if recorded_rep is not None and recorded_rep < 0.1 and div["repetition_rate"] > 0.5:
+            raise RuntimeError(
+                f"Corpus ID table collapsed: checkpoint "
+                f"{pretrained_rqvae_path} recorded repetition_rate="
+                f"{recorded_rep:.4f} but the rebuilt tokenizer produces "
+                f"{div['repetition_rate']:.4f} "
+                f"({div['unique_ids']}/{div['total_ids']} unique). The frozen "
+                f"stage-1 model was rebuilt with different semantics than it "
+                f"was trained with — check the vae_* config values."
+            )
 
     # ---- model ----
     max_seq_len = train_seq.max_seq_len

@@ -1,0 +1,165 @@
+"""Structural-config reconciliation between stage-1 checkpoints and stage-2.
+
+A stage-2 config that omits a structural VAE flag (the reference's committed
+decoder_kuairand.gin omits vae_codebook_normalize while its stage 1 sets it —
+ref configs/decoder_kuairand.gin vs configs/h_rqvae_kuairand.gin) rebuilds the
+frozen tokenizer with identical parameter shapes but wrong quantizer
+semantics, silently collapsing the corpus ID table. The checkpoint records
+its full structural model_config (common.structural_model_config) and
+_build_tokenizer adopts it over conflicting gin values
+(common.reconcile_vae_config).
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hidvae_tpu.models.quantize import QuantizeForwardMode
+from hidvae_tpu.train.common import (
+    reconcile_vae_config,
+    save_checkpoint,
+    structural_model_config,
+)
+from hidvae_tpu.train.hidvae import build_model
+
+
+def _tiny_model(normalize=True):
+    return build_model(
+        vae_input_dim=24,
+        vae_embed_dim=8,
+        vae_hidden_dims=[16],
+        vae_codebook_size=16,
+        vae_codebook_normalize=normalize,
+        vae_sim_vq=False,
+        vae_codebook_mode=QuantizeForwardMode.GUMBEL_SOFTMAX,
+        vae_n_layers=2,
+        vae_n_cat_feats=0,
+        commitment_weight=0.25,
+        tag_alignment_weight=0.5,
+        tag_prediction_weight=0.5,
+        tag_class_counts=[3, 5],
+        tag_embed_dim=12,
+        use_focal_loss=False,
+        focal_loss_gamma_base=2.0,
+        focal_loss_alpha_base=0.25,
+        dropout_rate=0.0,
+        use_batch_norm=True,
+        alignment_temperature=0.1,
+        sem_id_uniqueness_weight=0.5,
+        sem_id_uniqueness_margin=0.5,
+    )
+
+
+def _save_tiny_checkpoint(tmp_path, model):
+    x = jnp.zeros((2, 24))
+    te = jnp.zeros((2, 2, 12))
+    ti = jnp.zeros((2, 2), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.key(0), "gumbel": jax.random.key(1),
+         "dropout": jax.random.key(2), "mixup": jax.random.key(3)},
+        x, te, ti, 0.2, train=False,
+    )
+    payload = {
+        "step": jnp.zeros((), jnp.int32),
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+        "model_config": structural_model_config(model),
+        "metrics": {"repetition_rate": 0.01},
+    }
+    return save_checkpoint(str(tmp_path), "ckpt", payload)
+
+
+def test_structural_model_config_records_all_keys():
+    cfg = structural_model_config(_tiny_model())
+    assert cfg == {
+        "input_dim": 24,
+        "embed_dim": 8,
+        "hidden_dims": [16],
+        "codebook_size": 16,
+        "codebook_normalize": True,
+        "codebook_sim_vq": False,
+        "n_layers": 2,
+        "n_cat_features": 0,
+        "tag_class_counts": [3, 5],
+        "tag_embed_dim": 12,
+    }
+
+
+def test_reconcile_prefers_checkpoint_values(tmp_path):
+    path = _save_tiny_checkpoint(tmp_path, _tiny_model(normalize=True))
+    out = reconcile_vae_config(
+        path,
+        {"codebook_normalize": False, "embed_dim": 8, "hidden_dims": (16,),
+         "tag_class_counts": [3, 5]},
+    )
+    assert out["codebook_normalize"] is True      # adopted from checkpoint
+    assert out["embed_dim"] == 8                  # unchanged (matches)
+    assert out["hidden_dims"] == (16,)            # tuple/list compare as equal
+    assert out["tag_class_counts"] == [3, 5]
+
+
+def test_reconcile_handles_legacy_stringified_meta(tmp_path):
+    # Round-1 checkpoints stored model_config values as str(); the reconcile
+    # must parse them rather than treat "16" != 16 as a conflict.
+    path = _save_tiny_checkpoint(tmp_path, _tiny_model())
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["model_config"] = {
+        "input_dim": "24", "embed_dim": "8",
+        "codebook_size": "16", "n_layers": "2",
+    }
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    out = reconcile_vae_config(
+        path, {"input_dim": 24, "codebook_size": 16, "codebook_normalize": False}
+    )
+    assert out["input_dim"] == 24
+    assert out["codebook_size"] == 16
+    # Legacy meta doesn't record normalize -> the requested value survives.
+    assert out["codebook_normalize"] is False
+
+
+def test_reconcile_without_meta_is_identity(tmp_path):
+    req = {"codebook_normalize": False, "embed_dim": 8}
+    assert reconcile_vae_config(str(tmp_path / "nonexistent"), req) == req
+
+
+def test_build_tokenizer_self_heals_normalize_mismatch(tmp_path):
+    from hidvae_tpu.train.transformer import _build_tokenizer
+
+    path = _save_tiny_checkpoint(tmp_path, _tiny_model(normalize=True))
+    # Deliberately request the WRONG normalize flag (and stale tag counts):
+    # the tokenizer must be built with the checkpoint's values.
+    tok = _build_tokenizer(
+        use_h_tokenizer=True,
+        pretrained_rqvae_path=path,
+        vae_input_dim=24,
+        vae_embed_dim=8,
+        vae_hidden_dims=[16],
+        vae_codebook_size=16,
+        vae_n_layers=2,
+        vae_n_cat_feats=0,
+        vae_codebook_normalize=False,     # conflict
+        vae_sim_vq=False,
+        tag_alignment_weight=0.0,
+        tag_prediction_weight=0.0,
+        tag_class_counts=[37, 168],       # conflict (pre-remap counts)
+        tag_embed_dim=12,
+        use_dedup_dim=False,
+        use_concatenated_ids=False,
+        use_interleaved_ids=True,
+        commitment_weight=0.25,
+        rng=jax.random.key(0),
+    )
+    assert tok.hrq_vae.codebook_normalize is True
+    assert tok.tag_class_counts == [3, 5]
+    # The restore must have been clean (same shapes as the checkpoint): the
+    # tokenizer must reproduce the checkpoint model's assignments exactly.
+    x = np.random.RandomState(0).randn(4, 24).astype(np.float32)
+    ids = np.asarray(tok.precompute_corpus_ids(x))
+    assert ids.shape[0] == 4
