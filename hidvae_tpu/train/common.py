@@ -358,6 +358,31 @@ def reconcile_vae_config(pretrained_path: str, requested: dict, logger=None) -> 
     return out
 
 
+def corpus_collapse_error(recorded_rep, div: dict):
+    """Return an error message when a rebuilt tokenizer's corpus diversity
+    wildly contradicts the checkpoint's recorded repetition rate, else None.
+
+    recorded_rep < 0.1 (the checkpoint passed or neared the reference's 0.06
+    gate, ref configs/h_rqvae_amazon.gin:49) while the rebuilt corpus repeats
+    > 0.5 can only mean the frozen stage-1 model was rebuilt with different
+    semantics than it was trained with; legitimately-collapsed tokenizers
+    (e.g. plain RQ without uniqueness supervision) record their own high
+    repetition and pass through.
+    """
+    if recorded_rep is None or recorded_rep >= 0.1:
+        return None
+    if div["repetition_rate"] <= 0.5:
+        return None
+    return (
+        f"Corpus ID table collapsed: the stage-1 checkpoint recorded "
+        f"repetition_rate={recorded_rep:.4f} but the rebuilt tokenizer "
+        f"produces {div['repetition_rate']:.4f} "
+        f"({div['unique_ids']}/{div['total_ids']} unique). The frozen "
+        f"stage-1 model was rebuilt with different semantics than it was "
+        f"trained with — check the vae_* config values."
+    )
+
+
 # ---------------- diversity metrics ----------------
 
 

@@ -34,6 +34,7 @@ from hidvae_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_shard
 from hidvae_tpu.tokenizer import HSemanticIdTokenizer, SemanticIdTokenizer
 from hidvae_tpu.train.common import (
     TrainState,
+    corpus_collapse_error,
     id_diversity_metrics,
     inverse_sqrt_schedule,
     log_operative_config,
@@ -355,17 +356,9 @@ def train(
     # corpus silently inflates every retrieval metric — fail instead.
     if pretrained_rqvae_path is not None:
         recorded = load_checkpoint_meta(pretrained_rqvae_path).get("metrics", {})
-        recorded_rep = recorded.get("repetition_rate")
-        if recorded_rep is not None and recorded_rep < 0.1 and div["repetition_rate"] > 0.5:
-            raise RuntimeError(
-                f"Corpus ID table collapsed: checkpoint "
-                f"{pretrained_rqvae_path} recorded repetition_rate="
-                f"{recorded_rep:.4f} but the rebuilt tokenizer produces "
-                f"{div['repetition_rate']:.4f} "
-                f"({div['unique_ids']}/{div['total_ids']} unique). The frozen "
-                f"stage-1 model was rebuilt with different semantics than it "
-                f"was trained with — check the vae_* config values."
-            )
+        err = corpus_collapse_error(recorded.get("repetition_rate"), div)
+        if err:
+            raise RuntimeError(f"{err} (checkpoint: {pretrained_rqvae_path})")
 
     # ---- model ----
     max_seq_len = train_seq.max_seq_len

@@ -20,6 +20,7 @@ import pytest
 
 from hidvae_tpu.models.quantize import QuantizeForwardMode
 from hidvae_tpu.train.common import (
+    corpus_collapse_error,
     reconcile_vae_config,
     save_checkpoint,
     structural_model_config,
@@ -127,6 +128,20 @@ def test_reconcile_handles_legacy_stringified_meta(tmp_path):
 def test_reconcile_without_meta_is_identity(tmp_path):
     req = {"codebook_normalize": False, "embed_dim": 8}
     assert reconcile_vae_config(str(tmp_path / "nonexistent"), req) == req
+
+
+def test_corpus_collapse_guard():
+    healthy = {"repetition_rate": 0.01, "unique_ids": 19800, "total_ids": 20000}
+    collapsed = {"repetition_rate": 0.98, "unique_ids": 279, "total_ids": 16842}
+    # Gate-passing checkpoint + collapsed rebuild -> error.
+    assert corpus_collapse_error(0.006, collapsed) is not None
+    # Gate-passing checkpoint + healthy rebuild -> fine.
+    assert corpus_collapse_error(0.006, healthy) is None
+    # Legitimately collapsed tokenizer (plain RQ, recorded its own high
+    # repetition) -> pass through.
+    assert corpus_collapse_error(0.93, collapsed) is None
+    # No recorded metrics (old checkpoints) -> pass through.
+    assert corpus_collapse_error(None, collapsed) is None
 
 
 def test_build_tokenizer_self_heals_normalize_mismatch(tmp_path):
