@@ -113,10 +113,12 @@ class RetrievalEngine:
             dropout=g("attn_dropout", None) or g("dropout_p", 0.3),
             num_heads=g("attn_heads", 8),
             n_layers=g("attn_layers", 8),
-            num_embeddings=cfg["vae_codebook_size"],
+            # Checkpoint-reconciled geometry (see _build_tokenizer), mirroring
+            # the trainer's re-sync — the gin values may be stale.
+            num_embeddings=tokenizer.codebook_size,
             sem_id_dim=d,
             max_pos=max_seq_len * d,
-            n_sem_layers=g("vae_n_layers", 3),
+            n_sem_layers=tokenizer.n_layers,
             use_interleaved_ids=use_interleaved,
         )
         t = max_seq_len * d

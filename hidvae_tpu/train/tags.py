@@ -60,6 +60,19 @@ def compute_rare_tag_remap(
         if len(valid) == 0:
             new_counts.append(orig)
             continue
+        # The config's declared counts can undershoot the data's real vocab
+        # (e.g. the reference's committed [38,168,348] vs a rebuilt tag index)
+        # — size the remap tables by whichever is larger so every observed id
+        # has a row.
+        data_vocab = int(valid.max()) + 1
+        if data_vocab > orig:
+            import logging
+
+            logging.getLogger("hidvae_tpu.train.tags").warning(
+                f"tag layer {i}: data has {data_vocab} classes but "
+                f"tag_class_counts declares {orig}; using {data_vocab}"
+            )
+            orig = data_vocab
         full_counts = np.bincount(valid, minlength=orig)
         rare_mask = (full_counts > 0) & (full_counts < rare_tag_threshold)
         rare_ids = np.nonzero(rare_mask)[0]
