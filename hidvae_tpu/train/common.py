@@ -345,7 +345,9 @@ def reconcile_vae_config(pretrained_path: str, requested: dict, logger=None) -> 
 
     out = dict(requested)
     for key, want in requested.items():
-        if key not in saved:
+        if key not in saved or saved[key] is None:
+            # Absent or null = "not recorded" (e.g. a model built without tag
+            # heads) — keep the requested value rather than adopting None.
             continue
         have = norm(saved[key])
         if norm(want) != have:

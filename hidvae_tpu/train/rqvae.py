@@ -317,12 +317,20 @@ def train(
             logger.info(f"diversity @ {it}: {div}")
 
         if crossed(save_model_every):
+            # Record the latest diversity audit so a stage-2 consumer's
+            # corpus-collapse guard (common.corpus_collapse_error) can compare
+            # its rebuilt index against what this checkpoint actually produced.
+            metrics = (
+                {"repetition_rate": history["repetition_rate"][-1],
+                 "rqvae_entropy": history["rqvae_entropy"][-1]}
+                if history["repetition_rate"] else {}
+            )
             payload = {
                 "step": state.step,
                 "params": state.params,
                 "opt_state": state.opt_state,
                 "model_config": structural_model_config(model),
-                "metrics": {},
+                "metrics": metrics,
             }
             saved_paths.append(save_checkpoint(save_dir, f"checkpoint_{it - 1}", payload))
 

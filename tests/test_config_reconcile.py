@@ -130,6 +130,20 @@ def test_reconcile_without_meta_is_identity(tmp_path):
     assert reconcile_vae_config(str(tmp_path / "nonexistent"), req) == req
 
 
+def test_reconcile_null_recorded_value_keeps_requested(tmp_path):
+    # A checkpoint that recorded tag_class_counts: null (model without tag
+    # heads) must NOT override explicit requested counts with None.
+    path = _save_tiny_checkpoint(tmp_path, _tiny_model())
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["model_config"]["tag_class_counts"] = None
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    out = reconcile_vae_config(path, {"tag_class_counts": [3, 5]})
+    assert out["tag_class_counts"] == [3, 5]
+
+
 def test_corpus_collapse_guard():
     healthy = {"repetition_rate": 0.01, "unique_ids": 19800, "total_ids": 20000}
     collapsed = {"repetition_rate": 0.98, "unique_ids": 279, "total_ids": 16842}
