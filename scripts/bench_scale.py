@@ -1,0 +1,142 @@
+"""Large-corpus index-build + serving microbench (no training).
+
+The reference's pipeline was never exercised past Amazon Beauty scale
+(~12k items, /root/reference/data/amazon.py); its corpus index is rebuilt with
+a Python DataLoader sweep (ref modules/tokenizer/h_semids.py:109-195) and its
+`exists_prefix` verifier is an O(Q*N*D) all-pairs equality scan chunked by 16
+(ref :197-239) — at 10^6 items a single 200-candidate beam step would scan
+1.2*10^9 row-comparisons per query batch. This bench sizes the TPU-native
+design (jitted corpus sweep; sorted prefix table + binary-search ranges) at
+production catalog scales: 200k and 1M items.
+
+Stage-1 quality is irrelevant here (shape-dependent perf only): a k-means-
+initialized, untrained quantizer over random unit features gives realistic
+ID dispersion. Results print to stdout as JSON lines; run on the real chip.
+
+Usage: python scripts/bench_scale.py [n_items ...]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_one(n_items: int, request_users: int = 64, max_seq_len: int = 20):
+    from hidvae_tpu.models.quantize import QuantizeForwardMode
+    from hidvae_tpu.models.retrieval import EncoderDecoderRetrievalModel
+    from hidvae_tpu.models.rqvae import RqVae
+    from hidvae_tpu.serve import RetrievalEngine
+    from hidvae_tpu.tokenizer import SemanticIdTokenizer
+    from hidvae_tpu.train.init import kmeans_init_codebooks
+
+    F, D, K, L = 768, 32, 256, 3
+    print(f"--- n_items={n_items} ---", file=sys.stderr, flush=True)
+
+    rng = np.random.RandomState(0)
+    feats = rng.randn(n_items, F).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+
+    vae = RqVae(
+        input_dim=F, embed_dim=D, hidden_dims=(512, 256, 128),
+        codebook_size=K, n_layers=L, n_cat_features=0,
+        codebook_normalize=True, codebook_mode=QuantizeForwardMode.ROTATION_TRICK,
+    )
+    x0 = jnp.asarray(feats[: min(n_items, 20_000)])
+
+    @jax.jit
+    def init_vars(rng_key, x):
+        return vae.init({"params": rng_key, "gumbel": jax.random.key(1)},
+                        x[:4], 0.2, train=False)
+
+    variables = init_vars(jax.random.key(0), x0)
+    variables = kmeans_init_codebooks(vae, variables, x0, jax.random.key(2))
+    tok = SemanticIdTokenizer(vae, variables, n_layers=L, codebook_size=K)
+
+    # --- index build: full-corpus sweep through the frozen quantizer ---
+    t0 = time.perf_counter()
+    ids = tok.precompute_corpus_ids(feats)
+    jax.block_until_ready(ids)
+    t_sweep = time.perf_counter() - t0
+    print(f"corpus sweep: {t_sweep:.2f}s ({n_items / t_sweep / 1e6:.2f}M items/s)",
+          file=sys.stderr, flush=True)
+
+    # --- serving engine (re-sweeps + sorts the prefix index) ---
+    model = EncoderDecoderRetrievalModel(
+        embedding_dim=128, attn_dim=512, dropout=0.3, num_heads=8, n_layers=8,
+        num_embeddings=K, sem_id_dim=L, max_pos=max_seq_len * L, n_sem_layers=L,
+    )
+    from hidvae_tpu.data.schemas import TokenizedSeqBatch
+
+    t = max_seq_len * L
+    example = TokenizedSeqBatch(
+        user_ids=jnp.zeros((2,), jnp.int32),
+        sem_ids=jnp.zeros((2, t), jnp.int32),
+        sem_ids_fut=jnp.zeros((2, L), jnp.int32),
+        seq_mask=jnp.ones((2, t), bool),
+        token_type_ids=jnp.tile(jnp.arange(L, dtype=jnp.int32), (2, max_seq_len)),
+        token_type_ids_fut=jnp.tile(jnp.arange(L, dtype=jnp.int32), (2, 1)),
+    )
+    params = jax.jit(
+        lambda r: model.init({"params": r, "dropout": jax.random.key(4)},
+                             example, False)
+    )(jax.random.key(3))["params"]
+
+    t0 = time.perf_counter()
+    engine = RetrievalEngine(
+        model, params, tok, feats,
+        max_seq_len=max_seq_len, batch_buckets=(request_users,),
+    )
+    jax.block_until_ready(engine.sorted_ids)
+    t_engine = time.perf_counter() - t0
+
+    div_rep = 1.0 - len(np.unique(np.asarray(ids), axis=0)) / n_items
+
+    hist = rng.randint(0, n_items, (request_users, max_seq_len))
+    engine.warmup()
+
+    lat = []
+    resolved = None
+    for i in range(7):
+        out = engine.recommend(
+            rng.randint(0, n_items, (request_users, max_seq_len)), top_k=10
+        )
+        lat.append(out["latency_s"])
+        resolved = float((out["items"] >= 0).mean())
+    lat_ms = sorted(lat)[len(lat) // 2] * 1e3
+    ups = request_users / (lat_ms / 1e3)
+    print(
+        f"serve: {lat_ms:.0f} ms / {request_users}-user request "
+        f"({ups:.0f} users/s), top-10 resolved {resolved:.3f}, "
+        f"engine build {t_engine:.2f}s, corpus repetition {div_rep:.3f}",
+        file=sys.stderr, flush=True,
+    )
+    return {
+        "n_items": n_items,
+        "corpus_sweep_s": round(t_sweep, 3),
+        "corpus_sweep_items_per_sec": round(n_items / t_sweep, 1),
+        "engine_build_s": round(t_engine, 2),
+        "serve_ms_per_64u_request": round(lat_ms, 1),
+        "serve_users_per_sec": round(ups, 1),
+        "top10_resolved_frac": round(resolved, 4),
+        "corpus_repetition": round(div_rep, 4),
+    }
+
+
+def main():
+    from hidvae_tpu.utils.runtime import configure_runtime
+
+    configure_runtime()
+    sizes = [int(s) for s in sys.argv[1:]] or [200_000, 1_000_000]
+    results = [bench_one(n) for n in sizes]
+    print(json.dumps({"scale_bench": results}))
+
+
+if __name__ == "__main__":
+    main()
