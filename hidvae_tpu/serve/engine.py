@@ -15,6 +15,7 @@ trainer internals by hand. This module is the TPU-native deployment surface:
     costs a single host->device round trip.
 """
 
+import logging
 import time
 from typing import Optional, Sequence
 
@@ -28,6 +29,8 @@ from hidvae_tpu.ops.prefix_search import (
     build_prefix_index_with_perm,
     lookup_items,
 )
+
+logger = logging.getLogger(__name__)
 
 
 class RetrievalEngine:
@@ -143,6 +146,7 @@ class RetrievalEngine:
         engine_kwargs.setdefault(
             "generation_temperature", g("generation_temperature", 1.0)
         )
+        engine_kwargs.setdefault("stage1_checkpoint", stage1_checkpoint)
         return cls(
             model, restored["params"], tokenizer, items.item_features,
             max_seq_len=max_seq_len, **engine_kwargs,
@@ -160,6 +164,7 @@ class RetrievalEngine:
         generation_temperature: float = 1.0,
         mesh=None,
         shard_params: bool = False,
+        stage1_checkpoint=None,
     ):
         self.model = model
         self.tokenizer = tokenizer
@@ -202,6 +207,15 @@ class RetrievalEngine:
         )
         self.n_items = int(self.corpus_ids.shape[0])
         self.sem_id_dim = int(self.corpus_ids.shape[1])
+        # Same corpus-collapse backstop the stage-2 trainer runs: refuse to
+        # serve from a semantic index that contradicts the stage-1
+        # checkpoint's recorded repetition (a rebuild-gone-wrong otherwise
+        # returns near-constant recommendations without complaint).
+        from hidvae_tpu.train.common import audit_rebuilt_corpus
+
+        audit_rebuilt_corpus(
+            tokenizer, np.asarray(self.corpus_ids), stage1_checkpoint, log=logger
+        )
         if mesh is not None:
             # The ID table and prefix index are lookup state for every
             # request row — replicate them across the mesh.

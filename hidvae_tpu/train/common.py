@@ -360,6 +360,53 @@ def reconcile_vae_config(pretrained_path: str, requested: dict, logger=None) -> 
     return out
 
 
+def tokenizer_sem_cols(tokenizer):
+    """Column indices of the SEMANTIC digits in a tokenizer's corpus table.
+
+    Interleaved layouts place semantic digits at [0, 2, 4, ...]
+    (ref train_transformer.py:306-316); concatenated/dedup layouts put them
+    first. Tag / dedup-rank columns are excluded: they vary per item even when
+    the semantic index has collapsed, so any collapse audit must slice them
+    off."""
+    d = tokenizer.sem_ids_dim
+    if getattr(tokenizer, "use_interleaved_ids", False):
+        return [2 * i for i in range(tokenizer.n_layers) if 2 * i < d]
+    return list(range(min(tokenizer.n_layers, d)))
+
+
+def audit_rebuilt_corpus(tokenizer, corpus_ids, stage1_checkpoint, log=None):
+    """Diversity audit of a rebuilt corpus table + collapse guard against the
+    stage-1 checkpoint's recorded (semantic-tuple) repetition rate.
+
+    Returns (div_full, div_sem): diversity over full ID tuples and over the
+    semantic digits alone. The guard compares semantic-to-semantic — dedup
+    rank and tag columns make full tuples unique regardless of semantic
+    collapse, so guarding on the full table would mask exactly the failure
+    (silently degenerate index) this exists to catch. Raises RuntimeError on
+    contradiction; stage-1 checkpoints with no recorded metrics pass through.
+    """
+    ids = np.asarray(corpus_ids)
+    sem_cols = tokenizer_sem_cols(tokenizer)
+    div = id_diversity_metrics(
+        ids, tokenizer.codebook_size, tokenizer.n_layers, sem_cols=sem_cols
+    )
+    div_sem = (
+        id_diversity_metrics(ids[:, sem_cols], tokenizer.codebook_size,
+                             tokenizer.n_layers)
+        if ids.shape[1] > len(sem_cols) else div
+    )
+    if log is not None:
+        log.info(f"Corpus ID diversity: {div}")
+        if div_sem is not div:
+            log.info(f"Semantic-only slice diversity: {div_sem}")
+    if stage1_checkpoint is not None:
+        recorded = load_checkpoint_meta(stage1_checkpoint).get("metrics", {})
+        err = corpus_collapse_error(recorded.get("repetition_rate"), div_sem)
+        if err:
+            raise RuntimeError(f"{err} (checkpoint: {stage1_checkpoint})")
+    return div, div_sem
+
+
 def corpus_collapse_error(recorded_rep, div: dict):
     """Return an error message when a rebuilt tokenizer's corpus diversity
     wildly contradicts the checkpoint's recorded repetition rate, else None.

@@ -532,11 +532,15 @@ def train(
     # for resume equivalence (train 2N == train N; save; restore; train N).
     step_root = jax.random.fold_in(jax.random.key(seed), 0x5EED)
 
+    # `data` is a jit ARGUMENT, not a closure capture: closed-over device
+    # arrays are baked into the lowered program as constants (2.3 GB at
+    # 200k-item scale — slow remote compiles, duplicated HBM), while arguments
+    # are passed by reference at dispatch time.
     @partial(jax.jit, donate_argnums=(0,))
-    def train_chunk(state, it0):
+    def train_chunk(state, data, it0):
         def body(carry, i):
             r_sample, r_step = jax.random.split(jax.random.fold_in(step_root, it0 + i))
-            x, te, ti = ddata.sample(r_sample, batch_size)
+            x, te, ti = data.sample(r_sample, batch_size)
             new_state, metrics = train_step(
                 carry, shard_dp(x), shard_dp(te), shard_dp(ti), r_step
             )
@@ -554,7 +558,7 @@ def train(
     while it < start_iter + total_steps:
         n_now = min(chunk, start_iter + total_steps - it)
         if n_now == chunk:
-            state, mstack = train_chunk(state, jnp.asarray(it, jnp.int32))
+            state, mstack = train_chunk(state, ddata, jnp.asarray(it, jnp.int32))
         else:  # ragged tail chunk
             for j in range(n_now):
                 r_s, r_t = jax.random.split(jax.random.fold_in(step_root, it + j))
@@ -592,6 +596,7 @@ def train(
 
         do_eval_now = do_eval and crossed(eval_every)
         do_save_now = crossed(save_model_every)
+        last_audit = (None, None)  # (iteration, repetition) of this step's audit
 
         if do_eval_now and eval_dataset is not None and len(eval_dataset) > 0:
             eval_metrics = _run_eval(
@@ -624,6 +629,7 @@ def train(
                 "tta_accuracy", eval_metrics.get("tag_pred_accuracy", 0.0)
             )
             rep = div["repetition_rate"]
+            last_audit = (it, rep)
             # Quality-gated checkpoint (ref train_hidvae.py:1145-1177).
             gate_ok = (not has_tags or eval_acc > 0.60) and rep < id_repetition_threshold
             if do_save_now or gate_ok:
@@ -637,7 +643,12 @@ def train(
                     saved_paths.append(path)
                     logger.info(f"Gated checkpoint saved: {path}")
         if do_save_now:
-            path = _save(save_dir, "latest", state, model, {}, None)
+            # Record this step's diversity audit (when one just ran) so the
+            # stage-2 corpus-collapse guard also covers `latest` restores; a
+            # stale audit is never recorded (rep=None disables the guard
+            # rather than risking a false collapse error).
+            rep_now = last_audit[1] if last_audit[0] == it else None
+            path = _save(save_dir, "latest", state, model, {}, rep_now)
             saved_paths.append(path)
 
     if make_plots:

@@ -238,11 +238,15 @@ def train(
     # resume-equivalence guarantee (train 2N == train N; save; restore; train N).
     step_root = jax.random.fold_in(jax.random.key(seed), 0x5EED)
 
+    # `ddata` is a jit ARGUMENT, not a closure capture: closed-over device
+    # arrays are baked into the lowered program as constants (multi-GB at
+    # 200k-item scale — slow remote compiles, duplicated HBM), while arguments
+    # are passed by reference at dispatch time.
     @partial(jax.jit, donate_argnums=(0,))
-    def train_chunk(state, it0):
+    def train_chunk(state, data, it0):
         def body(carry, i):
             r_sample, r_step = jax.random.split(jax.random.fold_in(step_root, it0 + i))
-            x, _, _ = ddata.sample(r_sample, batch_size)
+            x, _, _ = data.sample(r_sample, batch_size)
             return train_step(carry, shard_dp(x), r_step)
 
         return jax.lax.scan(body, state, jnp.arange(chunk))
@@ -253,10 +257,11 @@ def train(
     loss_window = deque(maxlen=1000)
 
     it = start_iter
+    last_audit = (None, None)  # (iteration, diversity dict) of the newest audit
     while it < start_iter + total_steps:
         n_now = min(chunk, start_iter + total_steps - it)
         if n_now == chunk:
-            state, mstack = train_chunk(state, jnp.asarray(it, jnp.int32))
+            state, mstack = train_chunk(state, ddata, jnp.asarray(it, jnp.int32))
         else:
             for j in range(n_now):
                 r_s, r_t = jax.random.split(jax.random.fold_in(step_root, it + j))
@@ -282,6 +287,23 @@ def train(
         def crossed(every):
             return (prev_it // every) != (it // every) or it == start_iter + total_steps
 
+        def audit_diversity():
+            # ID-diversity audit through the plain tokenizer
+            # (ref train_rqvae.py:316-343).
+            tokenizer = SemanticIdTokenizer(
+                model, {"params": state.params},
+                n_layers=vae_n_layers, codebook_size=vae_codebook_size,
+                use_dedup_dim=use_dedup_dim,
+            )
+            corpus = np.asarray(
+                tokenizer.precompute_corpus_ids(index_dataset.item_features)
+            )
+            sem_cols = corpus[:, :vae_n_layers]
+            div = id_diversity_metrics(sem_cols, vae_codebook_size, vae_n_layers)
+            if use_dedup_dim:
+                div["max_duplicates"] = int(corpus[:, -1].max()) + 1
+            return div
+
         if do_eval and crossed(eval_every):
             if eval_dataset is not None and len(eval_dataset) > 0:
                 sums, n = {}, 0
@@ -297,34 +319,26 @@ def train(
                 history["eval_total_loss"].append(eval_metrics["loss"])
                 logger.info(f"eval @ {it}: {eval_metrics}")
 
-            # ID-diversity audit through the plain tokenizer
-            # (ref train_rqvae.py:316-343).
-            tokenizer = SemanticIdTokenizer(
-                model, {"params": state.params},
-                n_layers=vae_n_layers, codebook_size=vae_codebook_size,
-                use_dedup_dim=use_dedup_dim,
-            )
-            corpus = np.asarray(
-                tokenizer.precompute_corpus_ids(index_dataset.item_features)
-            )
-            sem_cols = corpus[:, :vae_n_layers]
-            div = id_diversity_metrics(sem_cols, vae_codebook_size, vae_n_layers)
-            if use_dedup_dim:
-                div["max_duplicates"] = int(corpus[:, -1].max()) + 1
+            div = audit_diversity()
             history["rqvae_entropy"].append(div["rqvae_entropy"])
             history["max_id_duplicates"].append(div["max_id_duplicates"])
             history["repetition_rate"].append(div["repetition_rate"])
+            last_audit = (it, div)
             logger.info(f"diversity @ {it}: {div}")
 
         if crossed(save_model_every):
-            # Record the latest diversity audit so a stage-2 consumer's
+            # Record a diversity audit of THESE params so a stage-2 consumer's
             # corpus-collapse guard (common.corpus_collapse_error) can compare
             # its rebuilt index against what this checkpoint actually produced.
-            metrics = (
-                {"repetition_rate": history["repetition_rate"][-1],
-                 "rqvae_entropy": history["rqvae_entropy"][-1]}
-                if history["repetition_rate"] else {}
-            )
+            # Re-audit unless one just ran this step: a stale audit (eval_every
+            # misaligned with save_model_every) could blame a faithful stage-2
+            # rebuild for a collapse that happened after the last audit.
+            if last_audit[0] != it:
+                last_audit = (it, audit_diversity())
+                logger.info(f"diversity @ save {it}: {last_audit[1]}")
+            div = last_audit[1]
+            metrics = {"repetition_rate": div["repetition_rate"],
+                       "rqvae_entropy": div["rqvae_entropy"]}
             payload = {
                 "step": state.step,
                 "params": state.params,

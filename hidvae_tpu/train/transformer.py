@@ -34,11 +34,9 @@ from hidvae_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_shard
 from hidvae_tpu.tokenizer import HSemanticIdTokenizer, SemanticIdTokenizer
 from hidvae_tpu.train.common import (
     TrainState,
-    corpus_collapse_error,
-    id_diversity_metrics,
+    audit_rebuilt_corpus,
     inverse_sqrt_schedule,
     log_operative_config,
-    load_checkpoint_meta,
     make_optimizer,
     reconcile_vae_config,
     restore_checkpoint,
@@ -333,32 +331,14 @@ def train(
     sem_id_dim = tokenizer.sem_ids_dim
     logger.info(f"Corpus table: {corpus_ids.shape}, sem_ids_dim={sem_id_dim}")
 
-    # ID repetition audit incl. semantic-only slice (ref train_transformer.py:277-328).
-    # Semantic digits sit at [0, 2, 4, ...] in the interleaved layout and at
-    # [0..n_layers) in the concatenated/dedup ones (ref train_transformer.py:306-316).
-    if use_interleaved_ids:
-        sem_cols = [2 * i for i in range(vae_n_layers) if 2 * i < sem_id_dim]
-    else:
-        sem_cols = list(range(min(vae_n_layers, sem_id_dim)))
-    div = id_diversity_metrics(
-        np.asarray(corpus_ids), vae_codebook_size, vae_n_layers, sem_cols=sem_cols
-    )
-    logger.info(f"Corpus ID diversity: {div}")
-    if sem_id_dim > vae_n_layers:
-        sem_only = id_diversity_metrics(
-            np.asarray(corpus_ids)[:, sem_cols], vae_codebook_size, vae_n_layers
-        )
-        logger.info(f"Semantic-only slice diversity: {sem_only}")
-    # Collapse guard: if the stage-1 checkpoint recorded a healthy repetition
-    # rate but the rebuilt tokenizer's corpus is degenerate, the tokenizer was
-    # rebuilt wrong (structural mismatch the meta didn't cover, corrupted
-    # restore, wrong item features). Training a decoder against a collapsed
-    # corpus silently inflates every retrieval metric — fail instead.
-    if pretrained_rqvae_path is not None:
-        recorded = load_checkpoint_meta(pretrained_rqvae_path).get("metrics", {})
-        err = corpus_collapse_error(recorded.get("repetition_rate"), div)
-        if err:
-            raise RuntimeError(f"{err} (checkpoint: {pretrained_rqvae_path})")
+    # ID repetition audit incl. semantic-only slice (ref train_transformer.py:277-328)
+    # + collapse guard: if the stage-1 checkpoint recorded a healthy semantic
+    # repetition rate but the rebuilt tokenizer's semantic index is degenerate,
+    # the tokenizer was rebuilt wrong (structural mismatch the meta didn't
+    # cover, corrupted restore, wrong item features). Training a decoder
+    # against a collapsed corpus silently inflates every retrieval metric —
+    # fail instead (shared with serving: common.audit_rebuilt_corpus).
+    audit_rebuilt_corpus(tokenizer, corpus_ids, pretrained_rqvae_path, log=logger)
 
     # ---- model ----
     max_seq_len = train_seq.max_seq_len
@@ -530,16 +510,20 @@ def train(
             return t
         return jax.lax.with_sharding_constraint(t, b_shard)
 
+    # `data`/`table` are jit ARGUMENTS, not closure captures: closed-over
+    # device arrays are baked into the lowered program as constants (multi-GB
+    # at 200k-item scale — slow remote compiles, duplicated HBM), while
+    # arguments are passed by reference at dispatch time.
     @partial(jax.jit, donate_argnums=(0,))
-    def train_chunk(state, it0):
+    def train_chunk(state, data, table, it0):
         def body(carry, i):
             r_sample, r_crop, r_step = jax.random.split(
                 jax.random.fold_in(step_root, it0 + i), 3
             )
-            u, items, fut = dseq.sample_rows(r_sample, batch_size)
+            u, items, fut = data.sample_rows(r_sample, batch_size)
             if train_seq.subsample:
                 items, fut = random_crop_windows(r_crop, items, fut)
-            tokenized = tokenize_on_device(cached_table, u, items, fut)
+            tokenized = tokenize_on_device(table, u, items, fut)
             tokenized = jax.tree_util.tree_map(shard_dp, tokenized)
             new_state, m = train_step(carry, tokenized, r_step)
             return new_state, m
@@ -556,7 +540,9 @@ def train(
     while it < start_iter + iterations:
         n_now = min(chunk, start_iter + iterations - it)
         if n_now == chunk:
-            state, mstack = train_chunk(state, jnp.asarray(it, jnp.int32))
+            state, mstack = train_chunk(
+                state, dseq, cached_table, jnp.asarray(it, jnp.int32)
+            )
             loss = float(np.asarray(mstack["loss"])[-1])
             loss_d = np.asarray(mstack["loss_d"])[-1]
             loss_window.extend(np.asarray(mstack["loss"]).reshape(-1).tolist())

@@ -98,7 +98,6 @@ def bench_one(n_items: int, request_users: int = 64, max_seq_len: int = 20):
 
     div_rep = 1.0 - len(np.unique(np.asarray(ids), axis=0)) / n_items
 
-    hist = rng.randint(0, n_items, (request_users, max_seq_len))
     engine.warmup()
 
     lat = []

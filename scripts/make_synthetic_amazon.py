@@ -40,12 +40,11 @@ import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hidvae_tpu.data.synth_tree import ZipfTree, personal_pool  # noqa: E402
+
 N_L1, N_L2, N_L3 = 38, 168, 348  # ref configs/h_rqvae_amazon.gin:35
-
-
-def _zipf(n: int, a: float, s: float) -> np.ndarray:
-    w = 1.0 / (np.arange(n) + a) ** s
-    return w / w.sum()
 
 
 def main(
@@ -62,32 +61,15 @@ def main(
 
     top = "Sports & Outdoors" if split == "sports" else split.capitalize()
     l1_names = [f"Cat{i:02d}" for i in range(N_L1)]
-    l2_parent = np.arange(N_L2) % N_L1
-    l3_parent = np.arange(N_L3) % N_L2
     l2_names = [f"Sub{i:03d}" for i in range(N_L2)]
     l3_names = [f"Leaf{i:03d}" for i in range(N_L3)]
     brands = [f"Brand{i:03d}" for i in range(400)]
 
-    # Hierarchically compounding Zipf (see make_synthetic_kuairand.py): flat
+    # Hierarchically compounding Zipf (hidvae_tpu/data/synth_tree.py): flat
     # per-leaf skew would average out at L1/L2 and the rare-tag remap at
     # threshold 30 (h_rqvae_amazon.gin:42) would collapse every class.
-    l2_children = [np.nonzero(l2_parent == i)[0] for i in range(N_L1)]
-    l3_children = [np.nonzero(l3_parent == j)[0] for j in range(N_L2)]
-    item_l1 = rng.choice(N_L1, n_items, p=_zipf(N_L1, 1.2, 1.3))
-    item_l2 = np.empty(n_items, np.int64)
-    item_l3 = np.empty(n_items, np.int64)
-    for i in range(N_L1):
-        m = item_l1 == i
-        kids = l2_children[i]
-        item_l2[m] = kids[rng.choice(len(kids), m.sum(),
-                                     p=_zipf(len(kids), 0.8, 1.6))]
-    for j in range(N_L2):
-        m = item_l2 == j
-        if not m.any():
-            continue
-        kids = l3_children[j]
-        item_l3[m] = kids[rng.choice(len(kids), m.sum(),
-                                     p=_zipf(len(kids), 0.6, 2.0))]
+    tree = ZipfTree(N_L1, N_L2, N_L3)
+    item_l1, item_l2, item_l3 = tree.assign(rng, n_items)
 
     # --- meta.json.gz + datamaps.json ---
     meta_rows, item2id = [], {}
@@ -134,11 +116,7 @@ def main(
     items_by_l1 = [np.nonzero(item_l1 == c)[0] for c in range(N_L1)]
     user2id, lines = {}, []
     for u in range(n_users):
-        pref = int(rng.randint(N_L1))
-        pool = items_by_l1[pref]
-        if len(pool) < 12:
-            pool = np.arange(n_items)
-        personal = rng.choice(pool, size=min(len(pool), 14), replace=False)
+        personal = personal_pool(rng, items_by_l1, n_items, min_pool=12, size=14)
         length = int(rng.randint(8, 31))
         seq = [
             int(rng.choice(personal)) if rng.rand() < 0.85

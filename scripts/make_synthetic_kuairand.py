@@ -28,12 +28,11 @@ import sys
 import numpy as np
 import pandas as pd
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hidvae_tpu.data.synth_tree import ZipfTree, personal_pool  # noqa: E402
+
 N_L1, N_L2, N_L3 = 37, 168, 353  # ref configs/h_rqvae_kuairand.gin:35
-
-
-def _zipf(n: int, a: float, s: float) -> np.ndarray:
-    w = 1.0 / (np.arange(n) + a) ** s
-    return w / w.sum()
 
 
 def main(
@@ -49,33 +48,17 @@ def main(
 
     # --- category tree: every L2 has one L1 parent, every L3 one L2 parent ---
     l1_names = [f"L1_{i:02d}" for i in range(N_L1)]
-    l2_parent = np.arange(N_L2) % N_L1
-    l3_parent = np.arange(N_L3) % N_L2
     l2_names = [f"L2_{i:03d}" for i in range(N_L2)]
     l3_names = [f"L3_{i:03d}" for i in range(N_L3)]
 
-    # --- videos: hierarchically compounding Zipf skew, so that each level
-    # keeps a handful of classes above the reference's rare_tag_threshold=400
+    # --- videos: hierarchically compounding Zipf skew
+    # (hidvae_tpu/data/synth_tree.py), so that each level keeps a handful of
+    # classes above the reference's rare_tag_threshold=400
     # (configs/h_rqvae_kuairand.gin:42) while the long tail exercises the
-    # rare-tag remap. Flat per-leaf skew would average out at L1/L2 and remap
-    # every class to the special bucket.
-    l2_children = [np.nonzero(l2_parent == i)[0] for i in range(N_L1)]
-    l3_children = [np.nonzero(l3_parent == j)[0] for j in range(N_L2)]
-    vid_l1 = rng.choice(N_L1, n_videos, p=_zipf(N_L1, 1.2, 1.3))
-    vid_l2 = np.empty(n_videos, np.int64)
-    vid_l3 = np.empty(n_videos, np.int64)
-    for i in range(N_L1):
-        m = vid_l1 == i
-        kids = l2_children[i]
-        vid_l2[m] = kids[rng.choice(len(kids), m.sum(),
-                                    p=_zipf(len(kids), 0.8, 1.6))]
-    for j in range(N_L2):
-        m = vid_l2 == j
-        if not m.any():
-            continue
-        kids = l3_children[j]
-        vid_l3[m] = kids[rng.choice(len(kids), m.sum(),
-                                    p=_zipf(len(kids), 0.6, 2.0))]
+    # rare-tag remap.
+    tree = ZipfTree(N_L1, N_L2, N_L3)
+    l2_parent, l3_parent = tree.l2_parent, tree.l3_parent
+    vid_l1, vid_l2, vid_l3 = tree.assign(rng, n_videos)
 
     captions, cat_rows = [], []
     for v in range(n_videos):
@@ -119,11 +102,7 @@ def main(
     rows = []  # (user_id, video_id, time_ms, is_click)
     base_ms = 1_649_000_000_000  # early April 2022, matching the file names
     for u in range(n_users):
-        pref = rng.randint(N_L1)
-        pool = vids_by_l1[pref]
-        if len(pool) < 20:
-            pool = np.arange(n_videos)
-        personal = rng.choice(pool, size=min(len(pool), 18), replace=False)
+        personal = personal_pool(rng, vids_by_l1, n_videos, min_pool=20, size=18)
         if rng.rand() < 0.06:  # inactive user -> filtered out by the builder
             length = rng.randint(3, 12)
         else:

@@ -158,6 +158,59 @@ def test_corpus_collapse_guard():
     assert corpus_collapse_error(None, collapsed) is None
 
 
+class _FakeTok:
+    def __init__(self, n_layers, sem_ids_dim, interleaved=False):
+        self.n_layers = n_layers
+        self.sem_ids_dim = sem_ids_dim
+        self.codebook_size = 16
+        self.use_interleaved_ids = interleaved
+
+
+def test_audit_rebuilt_corpus_guards_on_semantic_digits_only(tmp_path):
+    """Dedup-rank / tag columns make FULL tuples unique even when the semantic
+    index has collapsed; the guard must compare semantic-to-semantic or it
+    never fires on dedup / tag-layout tokenizers."""
+    from hidvae_tpu.train.common import audit_rebuilt_corpus
+
+    path = _save_tiny_checkpoint(tmp_path, _tiny_model())
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["metrics"] = {"repetition_rate": 0.01}
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    n = 64
+    # Dedup layout [s1, s2, s3, rank]: semantic digits fully collapsed, rank
+    # column makes every full tuple unique (full-table repetition = 0).
+    collapsed_sem = np.concatenate(
+        [np.ones((n, 3), np.int32), np.arange(n, dtype=np.int32)[:, None]], axis=1
+    )
+    with pytest.raises(RuntimeError, match="collapsed"):
+        audit_rebuilt_corpus(_FakeTok(3, 4), collapsed_sem, path)
+
+    # Interleaved layout [s1, t1, s2, t2, s3, t3]: semantic columns collapsed,
+    # tag columns vary per item.
+    inter = np.ones((n, 6), np.int32)
+    inter[:, 1] = np.arange(n) % 7
+    inter[:, 3] = np.arange(n) % 5
+    inter[:, 5] = np.arange(n) % 3
+    with pytest.raises(RuntimeError, match="collapsed"):
+        audit_rebuilt_corpus(_FakeTok(3, 6, interleaved=True), inter, path)
+
+    # Healthy semantic digits pass, and both diversity dicts come back.
+    rng = np.random.RandomState(0)
+    healthy = np.concatenate(
+        [rng.randint(0, 16, (n, 3)).astype(np.int32),
+         np.zeros((n, 1), np.int32)], axis=1
+    )
+    div, div_sem = audit_rebuilt_corpus(_FakeTok(3, 4), healthy, path)
+    assert div_sem["total_ids"] == n
+    # Semantic-only table (no tag/dedup columns): the two audits coincide.
+    div2, div_sem2 = audit_rebuilt_corpus(_FakeTok(3, 3), healthy[:, :3], path)
+    assert div2 == div_sem2
+
+
 def test_build_tokenizer_self_heals_normalize_mismatch(tmp_path):
     from hidvae_tpu.train.transformer import _build_tokenizer
 

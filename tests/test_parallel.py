@@ -194,7 +194,16 @@ class TestDistributedInit:
                 env=env, cwd=repo, stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE, text=True,
             ))
-        outs = [p.communicate(timeout=600) for p in procs]
+        try:
+            outs = [p.communicate(timeout=600) for p in procs]
+        finally:
+            # A wedged Gloo collective must not leave two orphaned workers
+            # holding the coordination port (and the single CPU core) for the
+            # rest of the suite.
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
         losses = {}
         for p, (out, err) in zip(procs, outs):
             assert p.returncode == 0, err[-3000:]
