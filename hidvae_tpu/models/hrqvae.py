@@ -214,12 +214,23 @@ class HRqVae(nn.Module):
         return list(self.tag_class_counts)[: self.n_layers]
 
     @property
+    def n_tag_levels(self):
+        """Number of tag-supervised quantization levels. The reference couples
+        quantizer depth to tag depth 1:1 (its datasets all have exactly three
+        tag levels and n_layers=3, ref h_rqvae.py:279-283); here n_layers may
+        exceed the tag depth — extra levels quantize the residual without tag
+        supervision, which is how the ID space scales to catalogs larger than
+        the tag hierarchy is deep (e.g. 200k items needs a 4th level to hold
+        semantic-ID repetition down; see BASELINE.md XL table)."""
+        return min(self.n_layers, len(self.resolved_tag_class_counts))
+
+    @property
     def concat_embed_dims(self):
         return [(self.embed_dim * (i + 1)) for i in range(self.n_layers)]
 
     def setup(self):
         counts = self.resolved_tag_class_counts
-        assert len(counts) == self.n_layers
+        assert len(counts) == self.n_tag_levels
         self.layers = [
             Quantize(
                 embed_dim=self.embed_dim,
@@ -244,7 +255,7 @@ class HRqVae(nn.Module):
                 dtype=self.dtype,
                 name=f"tag_predictor_{i}",
             )
-            for i in range(self.n_layers)
+            for i in range(self.n_tag_levels)
         ]
         self.tag_projectors = [
             TagProjector(
@@ -256,7 +267,7 @@ class HRqVae(nn.Module):
                 dtype=self.dtype,
                 name=f"tag_projector_{i}",
             )
-            for i in range(self.n_layers)
+            for i in range(self.n_tag_levels)
         ]
         self.encoder = MLP(
             hidden_dims=self.hidden_dims,
@@ -293,7 +304,7 @@ class HRqVae(nn.Module):
         cbs = self.stacked_codebooks()          # [L, K, D]
         embs = []
         preds, confs = [], []
-        for i in range(self.n_layers):
+        for i in range(self.n_tag_levels):
             embs.append(jnp.take(cbs[i], ids[:, i], axis=0))
             concat = jnp.concatenate(embs, axis=-1)
             logits = self.tag_predictors[i](concat, train=False)
@@ -337,7 +348,7 @@ class HRqVae(nn.Module):
             sem_ids.append(out.ids)
             concat_emb = jnp.concatenate(embs, axis=-1)  # [B, (i+1)*D]
 
-            if has_tags:
+            if has_tags and i < self.n_tag_levels:
                 cur_tag_emb = tags_emb[:, i]
                 cur_tag_idx = tags_indices[:, i]
                 projected = self.tag_projectors[i](cur_tag_emb, train=train)
@@ -379,9 +390,11 @@ class HRqVae(nn.Module):
             align_stack = jnp.stack(align_by_layer)
             pred_stack = jnp.stack(pred_by_layer)
             acc_stack = jnp.stack(acc_by_layer)
-            tag_align = jnp.sum(align_stack) / self.n_layers
-            tag_pred = jnp.sum(pred_stack) / self.n_layers
-            tag_acc = jnp.sum(acc_stack) / self.n_layers
+            # Mean over tag-supervised levels (== n_layers when coupled 1:1,
+            # the reference's only case — ref h_rqvae.py:561-565).
+            tag_align = jnp.sum(align_stack) / self.n_tag_levels
+            tag_pred = jnp.sum(pred_stack) / self.n_tag_levels
+            tag_acc = jnp.sum(acc_stack) / self.n_tag_levels
         else:
             align_stack = pred_stack = acc_stack = None
             tag_align = tag_pred = tag_acc = jnp.float32(0.0)
@@ -489,7 +502,10 @@ class HRqVae(nn.Module):
         res = self.encode(x.astype(jnp.float32))
         embs = []
         preds, confs, logits_all = [], [], []
-        for i, layer in enumerate(self.layers):
+        # Only tag-supervised levels have predictors; deeper levels refine the
+        # residual code but carry no tags (n_tag_levels == n_layers in every
+        # reference config).
+        for i, layer in enumerate(self.layers[: self.n_tag_levels]):
             out = layer(res, temperature=gumbel_t, train=False)
             embs.append(out.embeddings)
             concat_emb = jnp.concatenate(embs, axis=-1)

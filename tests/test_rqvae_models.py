@@ -204,6 +204,79 @@ class TestHRqVae:
         np.testing.assert_allclose(residual, 2.0 * float(out.sem_id_uniqueness_loss), rtol=1e-5)
 
 
+class TestUntaggedExtraLevels:
+    """n_layers > len(tag_class_counts): extra quantization levels refine the
+    residual without tag supervision (scales the ID space to catalogs larger
+    than the tag hierarchy is deep; the reference always couples them 1:1)."""
+
+    def _setup(self, n_layers=4):
+        model = make_hrqvae(n_layers=n_layers)
+        x = jax.random.normal(jax.random.key(5), (B, F))
+        tags_emb = jax.random.normal(jax.random.key(6), (B, L, 24))
+        tags_idx = jnp.stack(
+            [jax.random.randint(jax.random.key(i), (B,), 0, c)
+             for i, c in enumerate(TAG_COUNTS)],
+            axis=-1,
+        )
+        variables = model.init(rngs(), x, tags_emb, tags_idx, 0.2, train=False)
+        return model, variables, x, tags_emb, tags_idx
+
+    def test_forward_ids_wider_than_tags(self):
+        model, variables, x, tags_emb, tags_idx = self._setup()
+        assert model.n_tag_levels == L
+        # Only L tag heads exist even though there are 4 quantize levels.
+        heads = [k for k in variables["params"] if k.startswith("tag_predictor_")]
+        assert sorted(heads) == [f"tag_predictor_{i}" for i in range(L)]
+        out = model.apply(variables, x, tags_emb, tags_idx, 0.2, train=False)
+        assert np.isfinite(float(out.loss))
+        assert out.tag_pred_loss_by_layer.shape == (L,)
+        ids = model.apply(
+            variables, x,
+            method=lambda m, x: m.get_semantic_ids(m.encode(x)).sem_ids,
+        )
+        assert ids.shape == (B, 4)
+
+    def test_tag_losses_match_coupled_model_semantics(self):
+        """Per-level tag losses are means over tag levels, so the scale is
+        comparable with the coupled (n_layers == n_tags) model."""
+        model, variables, x, tags_emb, tags_idx = self._setup()
+        out = model.apply(variables, x, tags_emb, tags_idx, 0.2, train=False)
+        np.testing.assert_allclose(
+            float(out.tag_pred_loss),
+            float(jnp.mean(out.tag_pred_loss_by_layer)), rtol=1e-6,
+        )
+
+    def test_predict_tags_from_ids_tag_levels_only(self):
+        model, variables, x, tags_emb, tags_idx = self._setup()
+        ids = model.apply(
+            variables, x,
+            method=lambda m, x: m.get_semantic_ids(m.encode(x)).sem_ids,
+        )
+        out = model.apply(
+            variables, ids, method=lambda m, i: m.predict_tags_from_ids(i)
+        )
+        assert out["predictions"].shape == (B, L)
+        out2 = model.apply(variables, x, method=lambda m, x: m.predict_tags(x))
+        assert out2["predictions"].shape == (B, L)
+
+    def test_tokenizer_concat_layout_width(self):
+        from hidvae_tpu.tokenizer.h_semids import HSemanticIdTokenizer
+
+        model, variables, x, _, _ = self._setup()
+        tok = HSemanticIdTokenizer(
+            model, variables, n_layers=4, codebook_size=K,
+            tag_class_counts=list(TAG_COUNTS), use_concatenated_ids=True,
+        )
+        assert tok.sem_ids_dim == 4 + L
+        ids = tok.precompute_corpus_ids(np.asarray(x))
+        assert ids.shape == (B, 4 + L)
+        # Semantic digits in [0, K), tag digits within their class counts.
+        ids_np = np.asarray(ids)
+        assert ids_np[:, :4].max() < K
+        for t, c in enumerate(TAG_COUNTS):
+            assert ids_np[:, 4 + t].max() < c
+
+
 class TestMixedPrecision:
     """Stage-1 AMP: bf16 matmul compute, fp32 params/quantizer/losses
     (ref train_hidvae.py:77-80, autocast at :702)."""
