@@ -114,6 +114,53 @@ class TestGraftEntry:
         dryrun_multichip(n)
 
 
+def _launch_dist_workers():
+    """Launch the two-OS-process Gloo DP workers and wait for both; returns
+    (procs, [(stdout, stderr)]). Wedged workers are always killed so they
+    cannot hold the coordination port / CPU core for the rest of the suite."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache",
+            HIDVAE_DISTRIBUTED="1",
+            HIDVAE_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            HIDVAE_NUM_PROCESSES="2",
+            HIDVAE_PROCESS_ID=str(pid),
+            # Match the (conftest-sanitized) parent's default PRNG so the
+            # in-test reference loss is comparable.
+            HIDVAE_PRNG_IMPL="threefry2x32",
+            PYTHONPATH=repo,
+        )
+        for key in ("PALLAS_AXON_POOL_IPS", "AXON_LOOPBACK_RELAY",
+                    "PALLAS_AXON_REMOTE_COMPILE"):
+            env.pop(key, None)
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(repo, "tests", "_dist_worker.py")],
+            env=env, cwd=repo, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True,
+        ))
+    try:
+        outs = [p.communicate(timeout=600) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    return procs, outs
+
+
 class TestDistributedInit:
     def test_single_process_distributed_init(self):
         """HIDVAE_DISTRIBUTED=1 drives jax.distributed.initialize (the
@@ -161,49 +208,15 @@ class TestDistributedInit:
         float tolerance. Covers the reference's multi-node Accelerate DDP
         surface (SURVEY §2.7) end-to-end, not just the init call."""
         import re
-        import socket
-        import subprocess
-        import sys
 
-        with socket.socket() as s:
-            s.bind(("localhost", 0))
-            port = s.getsockname()[1]
-
-        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        procs = []
-        for pid in range(2):
-            env = dict(os.environ)
-            env.update(
-                JAX_PLATFORMS="cpu",
-                XLA_FLAGS="--xla_force_host_platform_device_count=2",
-                JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache",
-                HIDVAE_DISTRIBUTED="1",
-                HIDVAE_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
-                HIDVAE_NUM_PROCESSES="2",
-                HIDVAE_PROCESS_ID=str(pid),
-                # Match this (conftest-sanitized) process's default PRNG so
-                # the in-test reference loss is comparable.
-                HIDVAE_PRNG_IMPL="threefry2x32",
-                PYTHONPATH=repo,
-            )
-            for key in ("PALLAS_AXON_POOL_IPS", "AXON_LOOPBACK_RELAY",
-                        "PALLAS_AXON_REMOTE_COMPILE"):
-                env.pop(key, None)
-            procs.append(subprocess.Popen(
-                [sys.executable, os.path.join(repo, "tests", "_dist_worker.py")],
-                env=env, cwd=repo, stdout=subprocess.PIPE,
-                stderr=subprocess.PIPE, text=True,
-            ))
-        try:
-            outs = [p.communicate(timeout=600) for p in procs]
-        finally:
-            # A wedged Gloo collective must not leave two orphaned workers
-            # holding the coordination port (and the single CPU core) for the
-            # rest of the suite.
-            for p in procs:
-                if p.poll() is None:
-                    p.kill()
-                    p.wait()
+        procs, outs = _launch_dist_workers()
+        if any(p.returncode != 0 and "DEADLINE_EXCEEDED" in err
+               for p, (_, err) in zip(procs, outs)):
+            # Gloo's key-value store has a fixed ~30s rendezvous timeout; on
+            # this single-core host a concurrent heavy process (e.g. a TPU
+            # trainer's host side) can starve the workers past it. That is an
+            # environment flake, not a collectives regression — retry once.
+            procs, outs = _launch_dist_workers()
         losses = {}
         for p, (out, err) in zip(procs, outs):
             assert p.returncode == 0, err[-3000:]
