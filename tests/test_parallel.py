@@ -113,6 +113,31 @@ class TestGraftEntry:
 
         dryrun_multichip(n)
 
+    def test_dryrun_multichip_hostile_env(self):
+        """Regression for the round-1/2 driver failures (MULTICHIP_r0{1,2}):
+        env vars that LOOK provisioned — JAX_PLATFORMS=cpu plus a bare
+        (ineffective, no '--' prefix) xla_force_host_platform_device_count
+        token — must never be trusted; dryrun_multichip must still re-exec
+        into a sanitized subprocess and pass."""
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env.pop("HIDVAE_DRYRUN_INNER", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "xla_force_host_platform_device_count=8"
+        code = (
+            f"import sys; sys.path.insert(0, {repo!r}); "
+            "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", code], env=env, cwd=repo,
+            capture_output=True, text=True, timeout=560,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "dryrun_multichip OK" in r.stdout
+
 
 def _launch_dist_workers():
     """Launch the two-OS-process Gloo DP workers and wait for both; returns
