@@ -25,7 +25,59 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_stage2_seqs_per_sec(batch_size=256, steps=60):
+def device_peak_flops():
+    """Per-chip peak matmul FLOP/s for the ambient accelerator, or None.
+
+    TPU MXUs compute bf16 multiplies with fp32 accumulation; JAX's DEFAULT
+    matmul precision on TPU runs fp32-typed matmuls as bf16 passes, so the
+    bf16 peak is the right denominator for every bench here (only
+    explicitly-HIGHEST dots pay multi-pass fp32 cost). v5e: 197 bf16
+    TFLOP/s/chip (VERDICT round 2 missing #2 / SURVEY §6)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in (("v5 lite", 197e12), ("v5lite", 197e12),
+                      ("v5e", 197e12), ("v5p", 459e12), ("v6", 918e12),
+                      ("v4", 275e12)):
+        if key in kind:
+            return peak
+    return None
+
+
+def program_flops(jitted, *args):
+    """Total optimized-HLO FLOPs of ONE execution of a jitted program, from
+    XLA's compiled cost analysis. Returns None when the backend doesn't
+    expose it (then MFU is simply not reported)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", -1.0))
+        return flops if flops > 0 else None
+    except Exception as e:
+        log(f"cost_analysis unavailable: {e}")
+        return None
+
+
+def mfu_fields(prefix, jitted, args, dt, n_steps, details):
+    """Fill `<prefix>_step_tflops`, `<prefix>_tflops_per_sec`, `<prefix>_mfu`
+    in `details` from the compiled cost analysis of `jitted(*args)` (a program
+    covering `n_steps` train/gen steps) and its measured wall time `dt`."""
+    flops = program_flops(jitted, *args)
+    if flops is None:
+        return
+    tflops_s = flops / dt / 1e12
+    details[f"{prefix}_step_tflops"] = round(flops / n_steps / 1e12, 4)
+    details[f"{prefix}_tflops_per_sec"] = round(tflops_s, 1)
+    peak = device_peak_flops()
+    msg = f"{prefix}: {flops / n_steps / 1e12:.4f} TFLOP/step, {tflops_s:.1f} TFLOP/s"
+    if peak is not None:
+        details[f"{prefix}_mfu"] = round(flops / dt / peak, 4)
+        msg += f", MFU {flops / dt / peak * 100:.1f}% of {peak / 1e12:.0f} TFLOP/s peak"
+    log(msg)
+
+
+def measure_stage2_seqs_per_sec(batch_size=256, steps=60, details=None):
     """Stage-2 decoder training throughput at the Amazon concat-ID shape
     (B=256, 20 items x 6 digits, 8-layer 512-d transformer, bf16 compute)."""
     import jax
@@ -85,6 +137,8 @@ def measure_stage2_seqs_per_sec(batch_size=256, steps=60):
     dt = time.perf_counter() - t0
     sps = batch_size * steps / dt
     log(f"stage2 train: {sps:.0f} seqs/s ({dt / steps * 1e3:.1f} ms/step)")
+    if details is not None:
+        mfu_fields("stage2", run, (state, jax.random.key(3)), dt, steps, details)
 
     # Constrained beam generation (12k corpus, 32 beams, exact caps).
     from hidvae_tpu.ops.prefix_search import build_prefix_index
@@ -128,15 +182,19 @@ def measure_stage2_seqs_per_sec(batch_size=256, steps=60):
     jax.block_until_ready(gen_many(state.params, gb))  # compile
     t0 = time.perf_counter()
     jax.block_until_ready(gen_many(state.params, gb))
-    dt = (time.perf_counter() - t0) / iters
+    dt_total = time.perf_counter() - t0
+    dt = dt_total / iters
     ups = 64 / dt
     log(f"beam gen: {ups:.1f} users/s, {64 * 32 * d / dt:.0f} IDs/s steady-state "
         f"({dt * 1e3:.0f} ms / 64-user batch; single-dispatch latency {dt_1 * 1e3:.0f} ms)")
+    if details is not None:
+        mfu_fields("beam_gen", gen_many, (state.params, gb), dt_total, iters,
+                   details)
     return sps, ups
 
 
 def measure_stage1_items_per_sec(batch_size=256, steps=500, warmup=3,
-                                 amp=False):
+                                 amp=False, details=None):
     """Steady-state stage-1 training throughput at the reference's Amazon
     config (fp32, amp off — the reference's own default,
     /root/reference/train_hidvae.py:77). `steps` matches the trainer's real
@@ -230,6 +288,9 @@ def measure_stage1_items_per_sec(batch_size=256, steps=500, warmup=3,
     ips = batch_size * steps / dt
     log(f"stage1: {steps} steps x {batch_size} items in {dt:.3f}s -> {ips:.0f} items/s "
         f"({dt / steps * 1e3:.2f} ms/step, final loss={float(losses[-1]):.4f})")
+    if details is not None:
+        mfu_fields("stage1_amp" if amp else "stage1", run,
+                   (state, jax.random.key(11)), dt, steps, details)
 
     # Per-dispatch overhead (remote-tunnel RTT) for transparency: a 1-step
     # program's wall time is almost entirely dispatch, not compute.
@@ -339,17 +400,18 @@ def main():
     from hidvae_tpu.utils.runtime import configure_runtime
 
     configure_runtime()
-    ips = measure_stage1_items_per_sec()
-    details = {"stage1_items_per_sec": round(ips, 1)}
+    details = {}
+    ips = measure_stage1_items_per_sec(details=details)
+    details["stage1_items_per_sec"] = round(ips, 1)
     try:
         # Secondary: AMP (bf16 matmuls) variant of the same step — the knob
         # configs/h_rqvae_*.gin expose as train.amp (ref train_hidvae.py:77).
-        ips_amp = measure_stage1_items_per_sec(amp=True)
+        ips_amp = measure_stage1_items_per_sec(amp=True, details=details)
         details["stage1_amp_items_per_sec"] = round(ips_amp, 1)
     except Exception as e:
         log(f"stage1 amp bench failed: {e}")
     try:
-        sps, ups = measure_stage2_seqs_per_sec()
+        sps, ups = measure_stage2_seqs_per_sec(details=details)
         details.update({
             "stage2_train_seqs_per_sec": round(sps, 1),
             "beam_gen_users_per_sec": round(ups, 1),
