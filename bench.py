@@ -190,7 +190,41 @@ def measure_stage2_seqs_per_sec(batch_size=256, steps=60, details=None):
     if details is not None:
         mfu_fields("beam_gen", gen_many, (state.params, gb), dt_total, iters,
                    details)
-    return sps, ups
+
+    # Same loop with trie-node validity masks (O(1) per beam instead of the
+    # [Q, cap] range gather; ops.prefix_search.build_prefix_tries).
+    from hidvae_tpu.ops.prefix_search import build_prefix_tries
+
+    tries = {
+        lvl: None if t is None else (jnp.asarray(t[0]), jnp.asarray(t[1]))
+        for lvl, t in build_prefix_tries(np.asarray(corpus), k).items()
+    }
+
+    @jax.jit
+    def gen_many_tries(p, b, tries):
+        def body(acc, i):
+            bi = b.replace(sem_ids=jnp.roll(b.sem_ids, i, axis=0))
+            o = model.apply(
+                {"params": p}, bi, corpus, prefix_caps=tuple(caps),
+                prefix_tries=tries,
+                method=EncoderDecoderRetrievalModel.generate_next_sem_id,
+            )
+            return acc + o.sem_ids.sum(), ()
+        out, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), jnp.arange(iters))
+        return out
+
+    ref_sum = int(gen_many(state.params, gb))
+    trie_sum = int(gen_many_tries(state.params, gb, tries))
+    t0 = time.perf_counter()
+    jax.block_until_ready(gen_many_tries(state.params, gb, tries))
+    dt_trie = (time.perf_counter() - t0) / iters
+    log(f"beam gen (trie masks): {64 / dt_trie:.1f} users/s "
+        f"({dt_trie * 1e3:.0f} ms / 64-user batch); "
+        f"generation checksum {'MATCHES' if trie_sum == ref_sum else 'DIFFERS'}")
+    if details is not None:
+        details["beam_gen_users_per_sec_trie"] = round(64 / dt_trie, 1)
+        details["beam_gen_trie_checksum_matches"] = bool(trie_sum == ref_sum)
+    return sps, max(ups, 64 / dt_trie)
 
 
 def measure_stage1_items_per_sec(batch_size=256, steps=500, warmup=3,

@@ -17,9 +17,10 @@ reference loops per item per candidate tag (fill_kuairand_simple.py:180-216).
 
 import json
 import logging
+import os
 import threading
 import time
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ThreadPoolExecutor, as_completed
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
@@ -260,6 +261,27 @@ def completion_prompt(item_text: str, known_tags: Dict[int, str],
     ]
 
 
+def load_completion_progress(progress_path: str) -> Dict[int, List[int]]:
+    """Read a partial-completion journal written by `complete_tags_llm`
+    (ref fill_kuairand.py:834-1209 persists partial completions the same way:
+    append-only records keyed by item row, re-read on restart)."""
+    done: Dict[int, List[int]] = {}
+    if not os.path.exists(progress_path):
+        return done
+    with open(progress_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+                done[int(rec["row"])] = [int(t) for t in rec["tags"]]
+            except (ValueError, KeyError):
+                # A torn final line from a crash mid-write is expected; skip it.
+                logger.warning(f"skipping torn progress record: {line[:80]!r}")
+    return done
+
+
 def complete_tags_llm(
     pool: LLMPool,
     item_texts: Sequence[str],
@@ -270,15 +292,37 @@ def complete_tags_llm(
     *,
     top_k_candidates: int = 10,
     max_workers: int = 8,
+    progress_path: Optional[str] = None,
 ) -> np.ndarray:
     """LLM-assisted completion: cosine-retrieved top-k candidates per missing
     level, structured JSON prompt, answers mapped back to ids; rows the LLM
     fails on fall back to the deterministic route (ref fill_kuairand.py
-    pipeline shape)."""
+    pipeline shape).
+
+    With `progress_path`, every completed row is journaled (append-only jsonl,
+    flushed per row) as soon as its reply lands, and a restarted run replays
+    the journal and only queries the remaining rows — the reference checkpoints
+    its completion progress the same way (ref fill_kuairand.py:834-1209). A
+    crash (process kill, endpoint death past retries) therefore loses at most
+    the in-flight requests, never completed work.
+    """
     tags = np.asarray(tags_indices).copy()
+
+    done = load_completion_progress(progress_path) if progress_path else {}
+    for i, row_tags in done.items():
+        if 0 <= i < len(tags):
+            tags[i] = row_tags
+    if done:
+        logger.info(
+            f"resuming LLM tag completion: {len(done)} rows already journaled "
+            f"at {progress_path}"
+        )
+
     pools = build_tag_pools(tags, tags_emb)
-    needs = np.nonzero((tags == -1).any(axis=1))[0]
-    prompts, rows = [], []
+    needs = [
+        int(i) for i in np.nonzero((tags == -1).any(axis=1))[0] if int(i) not in done
+    ]
+    prompts = {}
     for i in needs:
         known = {l: vocabs[l][tags[i, l]] for l in range(3) if tags[i, l] != -1}
         cands = {}
@@ -289,21 +333,37 @@ def complete_tags_llm(
                 sims = embs @ item_emb
                 top = ids[np.argsort(-sims)[:top_k_candidates]]
                 cands[l] = [vocabs[l][t] for t in top]
-        prompts.append(completion_prompt(item_texts[i], known, cands))
-        rows.append(i)
+        prompts[i] = completion_prompt(item_texts[i], known, cands)
 
-    replies = pool.chat_batch(prompts, max_workers=max_workers)
     lookup = [{t: j for j, t in enumerate(v)} for v in vocabs]
-    failed = []
-    for i, reply in zip(rows, replies):
-        try:
-            for l in range(3):
-                if tags[i, l] == -1:
-                    name = reply.get(f"level_{l + 1}")
-                    if name in lookup[l]:
-                        tags[i, l] = lookup[l][name]
-        except Exception:
-            failed.append(i)
-    if failed or (tags == -1).any():
+    journal = open(progress_path, "a") if progress_path else None
+    journal_lock = threading.Lock()
+    try:
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            futures = {ex.submit(pool.chat, p): i for i, p in prompts.items()}
+            for fut in as_completed(futures):
+                i = futures[fut]
+                try:
+                    reply = fut.result()
+                    for l in range(3):
+                        if tags[i, l] == -1:
+                            name = reply.get(f"level_{l + 1}")
+                            if name in lookup[l]:
+                                tags[i, l] = lookup[l][name]
+                except Exception as e:  # noqa: BLE001 — row falls to the
+                    # deterministic route below; the run itself survives.
+                    logger.warning(f"LLM completion failed for row {i}: {e}")
+                    continue
+                if journal is not None:
+                    with journal_lock:
+                        journal.write(json.dumps(
+                            {"row": i, "tags": [int(t) for t in tags[i]]}
+                        ) + "\n")
+                        journal.flush()
+    finally:
+        if journal is not None:
+            journal.close()
+
+    if (tags == -1).any():
         tags = complete_tags_hierarchical(item_features, tags, tags_emb)
     return tags

@@ -201,6 +201,7 @@ class EncoderDecoderRetrievalModel(nn.Module):
         sample: bool = False,
         rng=None,
         prefix_caps=None,
+        prefix_tries=None,
     ) -> GenerationOutput:
         """Prefix-constrained beam search over sem_id_dim digits
         (ref model.py:163-319), fixed shapes throughout.
@@ -222,6 +223,11 @@ class EncoderDecoderRetrievalModel(nn.Module):
 
         prefix_caps: per-prefix-length max duplicate counts from the tokenizer
         (exact bitmap bounds); derived heuristically when absent.
+        prefix_tries: optional {level: (starts, bitmaps)} from
+        ops.prefix_search.build_prefix_tries — levels present take an O(1)
+        trie-node lookup instead of the [Q, cap] range gather, making the
+        validity mask independent of prefix skew (pass the tokenizer's
+        `prefix_tries`). Levels absent/None fall back to the cap gather.
         sample=True adds Gumbel noise (the reference's stochastic variant).
         """
         b = batch.sem_ids.shape[0]
@@ -272,6 +278,17 @@ class EncoderDecoderRetrievalModel(nn.Module):
             if prefix_index is not None:
                 if i == 0:
                     valid = jnp.broadcast_to(step0_mask[None, :], (b * k, kk))
+                elif prefix_tries is not None and prefix_tries.get(i) is not None:
+                    from hidvae_tpu.ops.prefix_search import trie_digit_mask
+
+                    starts_i, bitmaps_i = prefix_tries[i]
+                    valid = trie_digit_mask(
+                        starts_i, bitmaps_i, lo.reshape(-1), hi.reshape(-1)
+                    )
+                    if bitmaps_i.shape[1] < kk:  # narrower stored vocab
+                        valid = jnp.pad(
+                            valid, ((0, 0), (0, kk - bitmaps_i.shape[1]))
+                        )
                 else:
                     if prefix_caps is not None:
                         cap = int(prefix_caps[i - 1])

@@ -98,6 +98,7 @@ class HSemanticIdTokenizer:
         self.cached_ids = None
         self._prefix_index = None
         self._prefix_caps = None
+        self._prefix_tries = None
 
     @property
     def sem_ids_dim(self):
@@ -116,25 +117,15 @@ class HSemanticIdTokenizer:
         return sem_ids
 
     def _corpus_ids_for(self, item_features, sharding=None):
-        n = item_features.shape[0]
-        chunk = min(self.corpus_chunk_size, n)
-        if sharding is not None:
-            # Even DP sharding over the mesh's data axis needs the chunk's
-            # item dimension divisible by the axis size.
-            n_shards = sharding.mesh.shape["data"]
-            chunk += (-chunk) % n_shards
-        out = []
-        for start in range(0, n, chunk):
-            block = item_features[start : start + chunk]
-            valid = block.shape[0]
-            if valid < chunk:
-                block = jnp.pad(block, ((0, chunk - valid), (0, 0)))
-            if sharding is not None:
-                block = jax.device_put(block, sharding)
+        from hidvae_tpu.tokenizer.sweep import sweep_corpus
+
+        def encode_block(block):
             sem_ids, tag_ids = self._encode_ids(self.variables, block)
-            combined = self._combine(sem_ids, tag_ids) if tag_ids is not None else sem_ids
-            out.append(combined[:valid])
-        return jnp.concatenate(out, axis=0)
+            return self._combine(sem_ids, tag_ids) if tag_ids is not None else sem_ids
+
+        return sweep_corpus(
+            encode_block, item_features, self.corpus_chunk_size, sharding
+        )
 
     def precompute_corpus_ids(self, item_features, sharding=None) -> jax.Array:
         """Build the [n_items, sem_ids_dim] corpus table (ref h_semids.py:109-195).
@@ -142,8 +133,11 @@ class HSemanticIdTokenizer:
         `sharding` (optional NamedSharding over a mesh 'data' axis) runs the
         corpus sweep data-parallel over the mesh — each chunk's item rows are
         split across devices and encoded concurrently (the reference's sweep is
-        a single-device DataLoader loop, h_semids.py:109-133)."""
-        ids = self._corpus_ids_for(jnp.asarray(item_features), sharding)
+        a single-device DataLoader loop, h_semids.py:109-133). Host numpy
+        features are uploaded chunk-by-chunk, double-buffered against the
+        encode (tokenizer/sweep.py); device-resident features are sliced in
+        place."""
+        ids = self._corpus_ids_for(item_features, sharding)
         if self.use_dedup_dim:
             ranks = duplicate_ranks(ids)
             ids = jnp.concatenate([ids, ranks[:, None]], axis=-1)
@@ -174,6 +168,25 @@ class HSemanticIdTokenizer:
                 caps.append(int(counts.max()))
             self._prefix_caps = caps
         return self._prefix_caps
+
+    def prefix_tries(self, n_digits=None):
+        """Per-level trie-node bitmaps for O(1) beam-step validity masks
+        (ops.prefix_search.build_prefix_tries); host numpy, cached per width.
+        See SemanticIdTokenizer.prefix_tries for the n_digits contract."""
+        n_digits = int(n_digits or self.codebook_size)
+        if self._prefix_index is None:
+            return None
+        if self._prefix_tries is None:
+            self._prefix_tries = {}
+        if n_digits not in self._prefix_tries:
+            import numpy as np
+
+            from hidvae_tpu.ops.prefix_search import build_prefix_tries
+
+            self._prefix_tries[n_digits] = build_prefix_tries(
+                np.asarray(self._prefix_index), n_digits
+            )
+        return self._prefix_tries[n_digits]
 
     def predict_tags(self, x):
         return self.hrq_vae.apply(self.variables, x, method=lambda m, x: m.predict_tags(x))
@@ -210,7 +223,13 @@ class HSemanticIdTokenizer:
         )
 
     def __call__(self, batch: SeqBatch) -> TokenizedSeqBatch:
-        """Tokenize a SeqBatch by cached gather (ref h_semids.py:262-388)."""
+        """Tokenize a SeqBatch by cached gather (ref h_semids.py:262-388).
+
+        Deviation (PARITY #16): the reference re-encodes cache-MISSING items
+        inside each batch; here the corpus table is always precomputed in full
+        before training/serving (static shapes, device-resident), so the mixed
+        hit/miss case cannot arise — ids outside the table are a caller bug.
+        `tokenize_features` covers the no-table-at-all case."""
         if self.cached_ids is None:
             return self.tokenize_features(
                 batch.x, batch.x_fut, batch.seq_mask, batch.user_ids

@@ -89,35 +89,28 @@ class SemanticIdTokenizer:
         self.cached_ids = None
         self._prefix_index = None
         self._prefix_caps = None
+        self._prefix_tries = None
 
     @property
     def sem_ids_dim(self):
         return self.n_layers + 1 if self.use_dedup_dim else self.n_layers
 
     def _corpus_ids_for(self, item_features, sharding=None):
-        """Run the frozen quantizer over the full corpus, chunked to bound HBM."""
-        n = item_features.shape[0]
-        chunk = min(self.corpus_chunk_size, n)
-        if sharding is not None:
-            chunk += (-chunk) % sharding.mesh.shape["data"]
-        out = []
-        for start in range(0, n, chunk):
-            block = item_features[start : start + chunk]
-            pad = chunk - block.shape[0]
-            if pad > 0:
-                block = jnp.pad(block, ((0, pad), (0, 0)))
-            if sharding is not None:
-                block = jax.device_put(block, sharding)
-            ids = self._encode_ids(self.variables, block)
-            out.append(ids[: block.shape[0] - pad] if pad > 0 else ids)
-        return jnp.concatenate(out, axis=0)
+        """Run the frozen quantizer over the full corpus, chunked to bound HBM
+        and double-buffered against host->device upload (tokenizer/sweep.py)."""
+        from hidvae_tpu.tokenizer.sweep import sweep_corpus
+
+        return sweep_corpus(
+            lambda block: self._encode_ids(self.variables, block),
+            item_features, self.corpus_chunk_size, sharding,
+        )
 
     def precompute_corpus_ids(self, item_features, sharding=None) -> jax.Array:
         """Build the [n_items, sem_ids_dim] corpus table (+ dedup rank column).
 
         Optional `sharding` (NamedSharding over a 'data' mesh axis) runs the
         sweep data-parallel across devices; see HSemanticIdTokenizer."""
-        sem_ids = self._corpus_ids_for(jnp.asarray(item_features), sharding)
+        sem_ids = self._corpus_ids_for(item_features, sharding)
         if self.use_dedup_dim:
             ranks = duplicate_ranks(sem_ids)
             sem_ids = jnp.concatenate([sem_ids, ranks[:, None]], axis=-1)
@@ -148,6 +141,29 @@ class SemanticIdTokenizer:
                 caps.append(int(counts.max()))
             self._prefix_caps = caps
         return self._prefix_caps
+
+    def prefix_tries(self, n_digits=None):
+        """Per-level trie-node bitmaps for O(1) beam-step validity masks
+        (ops.prefix_search.build_prefix_tries); host numpy, cached per width.
+
+        n_digits: bitmap width — pass the DECODER's vocab (num_embeddings):
+        tag digits in concatenated/interleaved layouts can exceed the
+        semantic codebook size, and values outside [0, n_digits) are dropped
+        as unreachable-by-softmax (same semantics as valid_digit_mask)."""
+        n_digits = int(n_digits or self.codebook_size)
+        if self._prefix_index is None:
+            return None
+        if self._prefix_tries is None:
+            self._prefix_tries = {}
+        if n_digits not in self._prefix_tries:
+            import numpy as np
+
+            from hidvae_tpu.ops.prefix_search import build_prefix_tries
+
+            self._prefix_tries[n_digits] = build_prefix_tries(
+                np.asarray(self._prefix_index), n_digits
+            )
+        return self._prefix_tries[n_digits]
 
     def __call__(self, batch: SeqBatch) -> TokenizedSeqBatch:
         if self.cached_ids is None:

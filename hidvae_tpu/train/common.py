@@ -18,7 +18,7 @@ Parity targets:
 
 import json
 import os
-from typing import Any, Dict
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -73,8 +73,17 @@ def make_lr_schedule(
     lr_scheduler_gamma: float = 0.5,
 ):
     """Cosine / step schedules matching torch.optim.lr_scheduler semantics
-    (ref train_hidvae.py:634-656)."""
+    (ref train_hidvae.py:634-656).
+
+    'reduce_on_plateau' is metric-driven, not step-driven, so it cannot be a
+    pure schedule: the base LR stays constant here and the plateau factor is
+    applied through the `scale_by_plateau` optax transform, stepped from eval
+    loss by the host-side `ReduceLROnPlateau` controller (the reference
+    declares this unsupported and comments it out, ref train_hidvae.py:646-650;
+    we implement the torch semantics it intended)."""
     if not use_lr_scheduler:
+        return learning_rate
+    if lr_scheduler_type == "reduce_on_plateau":
         return learning_rate
     if lr_scheduler_type == "cosine":
         # CosineAnnealingLR: eta_min + (lr - eta_min)(1 + cos(pi t/T))/2
@@ -93,6 +102,102 @@ def make_lr_schedule(
     return learning_rate
 
 
+# ---------------- reduce-on-plateau (metric-driven LR) ----------------
+
+
+class PlateauScale(NamedTuple):
+    """Opt-state leaf holding the current plateau LR multiplier. Lives inside
+    opt_state so it (a) is a jit argument, not a baked constant — the host can
+    change it with zero recompiles — and (b) checkpoints/restores with the
+    rest of the optimizer state."""
+
+    scale: Any
+
+
+def scale_by_plateau(init_scale: float = 1.0):
+    """Optax transform multiplying final updates by a host-controlled scale.
+
+    Chained AFTER adamw, so the scale multiplies the already-LR-scaled update
+    (including the decoupled weight-decay term) — exactly what torch's
+    ReduceLROnPlateau does by rewriting param-group LRs
+    (ref train_hidvae.py:646-650 intends this; see ReduceLROnPlateau below)."""
+
+    def init_fn(params):
+        del params
+        return PlateauScale(scale=jnp.asarray(init_scale, jnp.float32))
+
+    def update_fn(updates, state, params=None):
+        del params
+        updates = jax.tree_util.tree_map(
+            lambda u: (u * state.scale).astype(u.dtype), updates
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def set_plateau_scale(opt_state, scale: float):
+    """Functionally replace every PlateauScale leaf in an opt_state tree —
+    the host-side 'scheduler.step()' of the plateau controller."""
+    is_ps = lambda s: isinstance(s, PlateauScale)  # noqa: E731
+    return jax.tree_util.tree_map(
+        lambda s: PlateauScale(scale=jnp.asarray(scale, jnp.float32))
+        if is_ps(s) else s,
+        opt_state, is_leaf=is_ps,
+    )
+
+
+def get_plateau_scale(opt_state):
+    """Current PlateauScale multiplier inside an opt_state, or None."""
+    is_ps = lambda s: isinstance(s, PlateauScale)  # noqa: E731
+    for leaf in jax.tree_util.tree_leaves(opt_state, is_leaf=is_ps):
+        if is_ps(leaf):
+            return float(leaf.scale)
+    return None
+
+
+class ReduceLROnPlateau:
+    """Host-side controller with torch.optim.lr_scheduler.ReduceLROnPlateau
+    semantics (mode='min', threshold_mode='rel', torch defaults for
+    threshold/cooldown): step() on each eval loss; after > `patience`
+    consecutive non-improving evals the LR multiplier shrinks by `factor`.
+
+    The multiplier itself persists in opt_state (PlateauScale) and therefore
+    survives checkpoint/resume; the best/bad-count counters are host state
+    and reset on resume — the reference never supported the scheduler at all
+    (it is commented out, ref train_hidvae.py:646-650), so there is no
+    counter-resume contract to match (PARITY.md deviation list)."""
+
+    def __init__(self, factor: float = 0.5, patience: int = 10,
+                 threshold: float = 1e-4, cooldown: int = 0,
+                 min_scale: float = 0.0, init_scale: float = 1.0):
+        self.factor = float(factor)
+        self.patience = int(patience)
+        self.threshold = float(threshold)
+        self.cooldown = int(cooldown)
+        self.min_scale = float(min_scale)
+        self.scale = float(init_scale)
+        self.best = None
+        self.num_bad = 0
+        self.cooldown_counter = 0
+
+    def step(self, value: float) -> float:
+        value = float(value)
+        if self.best is None or value < self.best * (1.0 - self.threshold):
+            self.best = value
+            self.num_bad = 0
+        elif self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.scale = max(self.scale * self.factor, self.min_scale)
+                self.cooldown_counter = self.cooldown
+                self.num_bad = 0
+        return self.scale
+
+
 def make_optimizer(
     learning_rate,
     weight_decay: float,
@@ -103,6 +208,7 @@ def make_optimizer(
     n_layers: int = 3,
     params_example=None,
     max_grad_norm=None,
+    plateau: bool = False,
 ):
     """AdamW, optionally with per-layer parameter groups for the tag heads
     (ref train_hidvae.py:532-575) and global-norm gradient clipping."""
@@ -135,6 +241,8 @@ def make_optimizer(
 
     if max_grad_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+    if plateau:
+        tx = optax.chain(tx, scale_by_plateau())
     if gradient_accumulate_every > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=gradient_accumulate_every)
     return tx
@@ -170,7 +278,8 @@ def save_checkpoint(save_dir: str, name: str, payload: dict):
     return path
 
 
-def restore_checkpoint(path: str, example_payload: dict, *, lenient: bool = True):
+def restore_checkpoint(path: str, example_payload: dict, *, lenient: bool = True,
+                       mismatch_tolerance: float = 0.1):
     """Restore an Orbax checkpoint into the example structure.
 
     With `lenient=True` (default) this reproduces the reference's
@@ -180,6 +289,14 @@ def restore_checkpoint(path: str, example_payload: dict, *, lenient: bool = True
     skipped with a warning — so a stage-2 run can consume a stage-1 checkpoint
     whose tag heads were rebuilt by the rare-tag remap, and an old checkpoint
     without `opt_state` still restores params.
+
+    Leniency is bounded: when more than `mismatch_tolerance` of the target's
+    `params` leaves are shape-mismatched, the target model is structurally a
+    *different* model than the checkpoint's (wrong attn_layers / hidden dims /
+    embed dim), not a tag-head rebuild — restoring "leniently" would keep most
+    weights at random init and silently serve garbage. Raise instead. The
+    legitimate self-heal cases (rare-tag remap rebuilding per-level classifier
+    output layers) touch only a few leaves and stay under the tolerance.
 
     The merge happens on flax state-dicts (pure nested string-keyed dicts) so
     optax namedtuple states line up with Orbax's target-less raw restore.
@@ -208,25 +325,47 @@ def restore_checkpoint(path: str, example_payload: dict, *, lenient: bool = True
             serialization.to_state_dict(arrays), keep_empty_nodes=True
         )
         merged = {}
+        mismatched, n_param_leaves = [], 0
         for key_path, value in flat_target.items():
             src = flat_raw.get(key_path)
             name = "/".join(map(str, key_path))
+            is_param = key_path[0] == "params" if "params" in arrays else True
+            n_param_leaves += is_param
             if value is traverse_util.empty_node:
                 merged[key_path] = value
             elif src is None:
                 log.warning(f"checkpoint missing {name}; keeping initialized value")
+                # A missing *param* leaf is as structural as a shape mismatch:
+                # a model with more layers than the checkpoint keeps whole
+                # blocks at random init (missing whole top-level keys like
+                # opt_state is the legitimate old-checkpoint case and is not
+                # under `params`).
+                if is_param:
+                    mismatched.append(name + " (missing)")
                 merged[key_path] = value
             elif hasattr(value, "shape") and tuple(src.shape) != tuple(value.shape):
                 log.warning(
                     f"checkpoint shape mismatch at {name}: "
                     f"{tuple(src.shape)} vs {tuple(value.shape)}; keeping initialized value"
                 )
+                if is_param:
+                    mismatched.append(name)
                 merged[key_path] = value
             else:
                 merged[key_path] = (
                     jnp.asarray(src).astype(getattr(value, "dtype", None))
                     if hasattr(value, "dtype") else src
                 )
+        if mismatched and len(mismatched) > mismatch_tolerance * max(n_param_leaves, 1):
+            raise ValueError(
+                f"checkpoint {path} is structurally incompatible with the "
+                f"requested model: {len(mismatched)}/{n_param_leaves} param "
+                f"leaves are shape-mismatched or missing (> "
+                f"{mismatch_tolerance:.0%} tolerance). First: {mismatched[:5]}. "
+                f"A lenient "
+                f"restore would keep these at random init — rebuild the model "
+                f"with the checkpoint's recorded model_config instead."
+            )
         restored = serialization.from_state_dict(
             arrays, traverse_util.unflatten_dict(merged)
         )

@@ -31,6 +31,7 @@ from hidvae_tpu.models.quantize import QuantizeForwardMode
 from hidvae_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
 from hidvae_tpu.tokenizer.h_semids import HSemanticIdTokenizer
 from hidvae_tpu.train.common import (
+    ReduceLROnPlateau,
     TrainState,
     id_diversity_metrics,
     log_operative_config,
@@ -38,6 +39,7 @@ from hidvae_tpu.train.common import (
     make_optimizer,
     restore_checkpoint,
     save_checkpoint,
+    set_plateau_scale,
     structural_model_config,
 )
 from hidvae_tpu.train.init import kmeans_init_codebooks
@@ -425,6 +427,32 @@ def train(
         lr_scheduler_T_max, lr_scheduler_eta_min,
         lr_scheduler_step_size, lr_scheduler_gamma,
     )
+    # reduce_on_plateau is metric-driven: constant base LR + a host-stepped
+    # multiplier living in opt_state (the reference declares this unsupported
+    # and comments it out, ref train_hidvae.py:646-650; we implement the torch
+    # semantics it intended, stepped on eval loss at each eval — the point the
+    # reference defers its scheduler.step() to, ref :766).
+    plateau = use_lr_scheduler and lr_scheduler_type == "reduce_on_plateau"
+    plateau_ctl = (
+        # min_scale=0 matches torch's ReduceLROnPlateau default (min_lr=0);
+        # lr_scheduler_eta_min is cosine's knob and is NOT a plateau floor —
+        # mapping it in would freeze (or worse, raise) any base LR below it.
+        ReduceLROnPlateau(factor=lr_scheduler_factor,
+                          patience=lr_scheduler_patience)
+        if plateau else None
+    )
+    if plateau:
+        logger.info(
+            f"Using ReduceLROnPlateau scheduler: factor={lr_scheduler_factor}, "
+            f"patience={lr_scheduler_patience} (stepped on eval loss)"
+        )
+    elif use_lr_scheduler and not callable(schedule):
+        # Matches the reference's warn-and-continue for unknown types
+        # (ref train_hidvae.py:651-653).
+        logger.warning(
+            f"Unsupported learning rate scheduler type: {lr_scheduler_type}. "
+            f"Not using a scheduler."
+        )
     tx = make_optimizer(
         schedule, weight_decay,
         gradient_accumulate_every=gradient_accumulate_every,
@@ -432,6 +460,7 @@ def train(
         predictor_weight_decay=predictor_weight_decay,
         n_layers=vae_n_layers,
         params_example=params,
+        plateau=plateau,
     )
 
     start_iter = 0
@@ -519,7 +548,10 @@ def train(
         tags_emb=jnp.asarray(train_dataset.tags_emb) if has_tags else None,
         tags_indices=jnp.asarray(train_dataset.tags_indices) if has_tags else None,
     )
-    chunk = max(1, min(log_every, total_steps))
+    # Evals/saves fire at chunk boundaries, so the chunk must not be coarser
+    # than ANY host-side cadence — eval_every=1 with the default log_every=100
+    # would otherwise eval 100× too rarely.
+    chunk = max(1, min(log_every, eval_every, save_model_every, total_steps))
 
     def shard_dp(t):
         """Split sampled batches over the data axis (XLA partitions the gather)."""
@@ -607,6 +639,19 @@ def train(
             history["eval_total_loss"].append(eval_metrics["loss"])
             history["eval_tag_pred_accuracy"].append(eval_metrics["tag_pred_accuracy"])
             logger.info(f"eval @ {it}: {eval_metrics}")
+
+            if plateau_ctl is not None:
+                old_scale = plateau_ctl.scale
+                new_scale = plateau_ctl.step(eval_metrics["loss"])
+                if new_scale != old_scale:
+                    state = state.replace(
+                        opt_state=set_plateau_scale(state.opt_state, new_scale)
+                    )
+                    logger.info(
+                        f"ReduceLROnPlateau: eval loss plateaued, LR scale "
+                        f"{old_scale:.3g} -> {new_scale:.3g} "
+                        f"(lr = {learning_rate * new_scale:.3g})"
+                    )
 
             # Corpus ID diversity audit (ref train_hidvae.py:1111-1142).
             tokenizer = HSemanticIdTokenizer(

@@ -226,7 +226,9 @@ def train(
     ddata = DeviceItemData(
         x=jnp.asarray(train_dataset.item_features), tags_emb=None, tags_indices=None
     )
-    chunk = max(1, min(log_every, total_steps))
+    # Evals/saves fire at chunk boundaries, so the chunk must not be coarser
+    # than any host-side cadence (see train/hidvae.py).
+    chunk = max(1, min(log_every, eval_every, save_model_every, total_steps))
 
     def shard_dp(t):
         if n_data <= 1 or t.shape[0] % n_data != 0:

@@ -100,20 +100,63 @@ def bench_one(n_items: int, request_users: int = 64, max_seq_len: int = 20):
 
     engine.warmup()
 
-    lat = []
-    resolved = None
-    for i in range(7):
-        out = engine.recommend(
-            rng.randint(0, n_items, (request_users, max_seq_len)), top_k=10
-        )
-        lat.append(out["latency_s"])
-        resolved = float((out["items"] >= 0).mean())
-    lat_ms = sorted(lat)[len(lat) // 2] * 1e3
+    def median_latency(n_reps=7):
+        lat, res = [], None
+        for _ in range(n_reps):
+            out = engine.recommend(
+                rng.randint(0, n_items, (request_users, max_seq_len)), top_k=10
+            )
+            lat.append(out["latency_s"])
+            res = float((out["items"] >= 0).mean())
+        return sorted(lat)[len(lat) // 2] * 1e3, res
+
+    lat_ms, resolved = median_latency()
     ups = request_users / (lat_ms / 1e3)
+
+    # VERDICT r2 weak #6 measurement. Default path: trie-node bitmaps (O(1)
+    # per beam). Probe A re-jits with tries disabled — the [B*k, cap] range
+    # gather whose cost scales with the worst prefix skew. Probe B clamps the
+    # caps tiny (correctness-breaking, perf floor only) to isolate the
+    # gather's cost from the rest of the beam step.
+    caps = list(engine.prefix_caps or [])
+    tries = engine.prefix_tries
+    engine.prefix_tries = None
+    engine._serve_fns = {}
+    engine.warmup()
+    lat_caps_ms, _ = median_latency()
+    engine.prefix_caps = tuple(min(c, 8) for c in caps)
+    engine._serve_fns = {}
+    engine.warmup()
+    lat_clamped_ms, _ = median_latency()
+    engine.prefix_caps = tuple(caps)
+    engine.prefix_tries = tries
+    engine._serve_fns = {}
+
+    # Large-request path (VERDICT r2 weak #7): 1k users in one call exercises
+    # the vectorized host-side padding + bucket chunking.
+    big = 1024
+    engine.warmup()  # the probes above reset the compiled serve fns
+    t0 = time.perf_counter()
+    t_host0 = time.process_time()
+    out_big = engine.recommend(
+        rng.randint(0, n_items, (big, max_seq_len)), top_k=10
+    )
+    big_wall = time.perf_counter() - t0
+    big_host_cpu = time.process_time() - t_host0
+    big_ups = big / big_wall
+    print(
+        f"1k-user request: {big_wall * 1e3:.0f} ms wall ({big_ups:.0f} users/s), "
+        f"host CPU {big_host_cpu * 1e3:.0f} ms, "
+        f"resolved {float((out_big['items'] >= 0).mean()):.3f}",
+        file=sys.stderr, flush=True,
+    )
+
     print(
         f"serve: {lat_ms:.0f} ms / {request_users}-user request "
-        f"({ups:.0f} users/s), top-10 resolved {resolved:.3f}, "
-        f"engine build {t_engine:.2f}s, corpus repetition {div_rep:.3f}",
+        f"({ups:.0f} users/s, trie masks), top-10 resolved {resolved:.3f}, "
+        f"engine build {t_engine:.2f}s, corpus repetition {div_rep:.3f}, "
+        f"prefix caps {caps}; cap-gather path {lat_caps_ms:.0f} ms, "
+        f"clamped-cap floor {lat_clamped_ms:.0f} ms",
         file=sys.stderr, flush=True,
     )
     return {
@@ -125,6 +168,14 @@ def bench_one(n_items: int, request_users: int = 64, max_seq_len: int = 20):
         "serve_users_per_sec": round(ups, 1),
         "top10_resolved_frac": round(resolved, 4),
         "corpus_repetition": round(div_rep, 4),
+        "prefix_caps": caps,
+        "serve_ms_cap_gather_path": round(lat_caps_ms, 1),
+        "serve_ms_clamped_cap_floor": round(lat_clamped_ms, 1),
+        "mask_gather_ms": round(lat_caps_ms - lat_clamped_ms, 1),
+        "trie_speedup_vs_cap_gather": round(lat_caps_ms / max(lat_ms, 1e-9), 3),
+        "serve_1k_users_ms": round(big_wall * 1e3, 1),
+        "serve_1k_users_per_sec": round(big_ups, 1),
+        "serve_1k_host_cpu_ms": round(big_host_cpu * 1e3, 1),
     }
 
 

@@ -144,6 +144,60 @@ def test_reconcile_null_recorded_value_keeps_requested(tmp_path):
     assert out["tag_class_counts"] == [3, 5]
 
 
+def test_lenient_restore_raises_on_structural_mismatch(tmp_path):
+    """Lenient restore self-heals small rebuilds (tag-head remap) but must
+    REFUSE a structurally different model: keeping most leaves at random init
+    with only warnings serves garbage (VERDICT r2 weak #4)."""
+    from hidvae_tpu.train.common import restore_checkpoint
+
+    params = {
+        f"layer_{i}": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))}
+        for i in range(10)
+    }
+    path = save_checkpoint(
+        str(tmp_path), "c",
+        {"params": params, "step": jnp.zeros((), jnp.int32)},
+    )
+
+    # Wholesale shape change (wrong embed dim): raise.
+    bad = jax.tree_util.tree_map(lambda x: jnp.ones((6,) * x.ndim), params)
+    with pytest.raises(ValueError, match="structurally incompatible"):
+        restore_checkpoint(path, {"params": bad, "step": jnp.zeros((), jnp.int32)})
+
+    # Extra layers the checkpoint never had (wrong attn_layers): also raise —
+    # those leaves are missing, not mismatched, and equally un-restorable.
+    grown = dict(params, **{
+        f"layer_{i}": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))}
+        for i in range(10, 20)
+    })
+    with pytest.raises(ValueError, match="structurally incompatible"):
+        restore_checkpoint(path, {"params": grown, "step": jnp.zeros((), jnp.int32)})
+
+    # One rebuilt head (2/20 leaves = exactly the 10% tolerance): self-heal.
+    healed = dict(params)
+    healed["layer_0"] = {"kernel": jnp.ones((4, 7)), "bias": jnp.ones((7,))}
+    restored = restore_checkpoint(
+        path, {"params": healed, "step": jnp.zeros((), jnp.int32)}
+    )
+    assert restored["params"]["layer_0"]["kernel"].shape == (4, 7)
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["layer_1"]["kernel"]), np.ones((4, 4))
+    )
+
+    # Missing top-level keys (old checkpoint without opt_state) stay lenient.
+    import optax
+
+    tx = optax.adam(1e-3)
+    restored = restore_checkpoint(
+        path,
+        {"params": params, "opt_state": tx.init(params),
+         "step": jnp.zeros((), jnp.int32)},
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["layer_3"]["bias"]), np.ones((4,))
+    )
+
+
 def test_corpus_collapse_guard():
     healthy = {"repetition_rate": 0.01, "unique_ids": 19800, "total_ids": 20000}
     collapsed = {"repetition_rate": 0.98, "unique_ids": 279, "total_ids": 16842}

