@@ -59,21 +59,32 @@ def program_flops(jitted, *args):
         return None
 
 
-def mfu_fields(prefix, jitted, args, dt, n_steps, details):
+def mfu_fields(prefix, jitted, args, dt, n_steps, details, flops_of=None):
     """Fill `<prefix>_step_tflops`, `<prefix>_tflops_per_sec`, `<prefix>_mfu`
-    in `details` from the compiled cost analysis of `jitted(*args)` (a program
-    covering `n_steps` train/gen steps) and its measured wall time `dt`."""
-    flops = program_flops(jitted, *args)
+    in `details` for a measured program `jitted(*args)` covering `n_steps`
+    train/gen steps in wall time `dt`.
+
+    FLOPs come from `flops_of=(fn, fn_args, steps_covered)` — a program whose
+    compiled cost analysis reflects exactly `steps_covered` steps. This must
+    be a straight-line (non-scan) program: XLA's HLO cost analysis counts a
+    while/scan body ONCE regardless of trip count, so analyzing the scanned
+    bench program itself under-reports FLOPs by the trip count (observed on
+    TPU: the 60-step stage-2 scan reported one step's FLOPs). Defaults to
+    `(jitted, args, n_steps)` for programs with no loop."""
+    fn, fn_args, covered = flops_of if flops_of is not None else (jitted, args, n_steps)
+    flops = program_flops(fn, *fn_args)
     if flops is None:
         return
-    tflops_s = flops / dt / 1e12
-    details[f"{prefix}_step_tflops"] = round(flops / n_steps / 1e12, 4)
+    step_flops = flops / covered
+    total = step_flops * n_steps
+    tflops_s = total / dt / 1e12
+    details[f"{prefix}_step_tflops"] = round(step_flops / 1e12, 4)
     details[f"{prefix}_tflops_per_sec"] = round(tflops_s, 1)
     peak = device_peak_flops()
-    msg = f"{prefix}: {flops / n_steps / 1e12:.4f} TFLOP/step, {tflops_s:.1f} TFLOP/s"
+    msg = f"{prefix}: {step_flops / 1e12:.4f} TFLOP/step, {tflops_s:.1f} TFLOP/s"
     if peak is not None:
-        details[f"{prefix}_mfu"] = round(flops / dt / peak, 4)
-        msg += f", MFU {flops / dt / peak * 100:.1f}% of {peak / 1e12:.0f} TFLOP/s peak"
+        details[f"{prefix}_mfu"] = round(total / dt / peak, 4)
+        msg += f", MFU {total / dt / peak * 100:.1f}% of {peak / 1e12:.0f} TFLOP/s peak"
     log(msg)
 
 
@@ -138,7 +149,19 @@ def measure_stage2_seqs_per_sec(batch_size=256, steps=60, details=None):
     sps = batch_size * steps / dt
     log(f"stage2 train: {sps:.0f} seqs/s ({dt / steps * 1e3:.1f} ms/step)")
     if details is not None:
-        mfu_fields("stage2", run, (state, jax.random.key(3)), dt, steps, details)
+        # Straight-line one-step program for FLOPs accounting (see mfu_fields:
+        # scan bodies are cost-analyzed once, not x trip count).
+        @jax.jit
+        def one_step(state, rng):
+            def loss_fn(p):
+                return model.apply({"params": p}, batch, True,
+                                   rngs={"dropout": rng}).loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            return state.apply_gradients(grads=grads, tx=tx), loss
+
+        mfu_fields("stage2", run, (state, jax.random.key(3)), dt, steps, details,
+                   flops_of=(one_step, (state, jax.random.key(3)), 1))
 
     # Constrained beam generation (12k corpus, 32 beams, exact caps).
     from hidvae_tpu.ops.prefix_search import build_prefix_index
@@ -188,8 +211,9 @@ def measure_stage2_seqs_per_sec(batch_size=256, steps=60, details=None):
     log(f"beam gen: {ups:.1f} users/s, {64 * 32 * d / dt:.0f} IDs/s steady-state "
         f"({dt * 1e3:.0f} ms / 64-user batch; single-dispatch latency {dt_1 * 1e3:.0f} ms)")
     if details is not None:
+        # `gen` is the already-compiled single-dispatch program (1 gen step).
         mfu_fields("beam_gen", gen_many, (state.params, gb), dt_total, iters,
-                   details)
+                   details, flops_of=(gen, (state.params, gb), 1))
 
     # Same loop with trie-node validity masks (O(1) per beam instead of the
     # [Q, cap] range gather; ops.prefix_search.build_prefix_tries).
@@ -322,15 +346,20 @@ def measure_stage1_items_per_sec(batch_size=256, steps=500, warmup=3,
     ips = batch_size * steps / dt
     log(f"stage1: {steps} steps x {batch_size} items in {dt:.3f}s -> {ips:.0f} items/s "
         f"({dt / steps * 1e3:.2f} ms/step, final loss={float(losses[-1]):.4f})")
-    if details is not None:
-        mfu_fields("stage1_amp" if amp else "stage1", run,
-                   (state, jax.random.key(11)), dt, steps, details)
 
-    # Per-dispatch overhead (remote-tunnel RTT) for transparency: a 1-step
-    # program's wall time is almost entirely dispatch, not compute.
+    # Straight-line 1-step program: FLOPs accounting (scan bodies are
+    # cost-analyzed once, not x trip count — see mfu_fields) and the
+    # per-dispatch overhead probe below. Returns the updated state so the
+    # backward pass + optimizer update aren't dead-code-eliminated.
     @jax.jit
     def one(state, base_rng):
-        return step_fn(state, x, tags_emb, tags_idx, base_rng)[1]["loss"]
+        new_state, metrics = step_fn(state, x, tags_emb, tags_idx, base_rng)
+        return new_state, metrics["loss"]
+
+    if details is not None:
+        mfu_fields("stage1_amp" if amp else "stage1", run,
+                   (state, jax.random.key(11)), dt, steps, details,
+                   flops_of=(one, (state, jax.random.key(12)), 1))
 
     jax.block_until_ready(one(state, jax.random.key(12)))
     t0 = time.perf_counter()
