@@ -248,6 +248,63 @@ def measure_stage2_seqs_per_sec(batch_size=256, steps=60, details=None):
     if details is not None:
         details["beam_gen_users_per_sec_trie"] = round(64 / dt_trie, 1)
         details["beam_gen_trie_checksum_matches"] = bool(trie_sum == ref_sum)
+
+    # At-scale probe — the driver-captured version of scripts/bench_scale.py's
+    # finding: at production corpus sizes the [Q, cap] validity range gather
+    # scales with the worst prefix skew while the trie mask stays O(1) per
+    # beam. A 200k-row random ID table reproduces the shape (digit-1 cap
+    # ~1k) without needing a feature sweep; never fails the bench.
+    try:
+        n_big = 200_000
+        big_np = np.random.RandomState(2).randint(0, k, (n_big, d))
+        big_corpus = build_prefix_index(jnp.asarray(big_np, jnp.int32))
+        big_caps = tuple(
+            int(np.unique(big_np[:, :length], axis=0, return_counts=True)[1].max())
+            for length in range(1, d)
+        )
+        # build_prefix_tries needs the SORTED table (contiguous prefix runs),
+        # not the raw row order.
+        big_tries = {
+            lvl: None if t is None else (jnp.asarray(t[0]), jnp.asarray(t[1]))
+            for lvl, t in build_prefix_tries(np.asarray(big_corpus), k).items()
+        }
+        iters_big = 5
+
+        def timed_gen(tries_t):
+            @jax.jit
+            def run_many(p, b):
+                def body(acc, i):
+                    bi = b.replace(sem_ids=jnp.roll(b.sem_ids, i, axis=0))
+                    o = model.apply(
+                        {"params": p}, bi, big_corpus, prefix_caps=big_caps,
+                        prefix_tries=tries_t,
+                        method=EncoderDecoderRetrievalModel.generate_next_sem_id,
+                    )
+                    return acc + o.sem_ids.sum(), ()
+
+                out, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32),
+                                      jnp.arange(iters_big))
+                return out
+
+            chk = int(run_many(state.params, gb))  # compile + checksum
+            t0 = time.perf_counter()
+            jax.block_until_ready(run_many(state.params, gb))
+            return (time.perf_counter() - t0) / iters_big, chk
+
+        dt_gather, chk_gather = timed_gen(None)
+        dt_big_trie, chk_trie = timed_gen(big_tries)
+        log(f"beam gen @ 200k corpus (caps {list(big_caps)}): trie "
+            f"{dt_big_trie * 1e3:.0f} ms vs cap-gather {dt_gather * 1e3:.0f} ms "
+            f"/ 64-user batch ({dt_gather / dt_big_trie:.2f}x); checksum "
+            f"{'MATCHES' if chk_gather == chk_trie else 'DIFFERS'}")
+        if details is not None:
+            details["beam_gen_200k_ms_cap_gather"] = round(dt_gather * 1e3, 1)
+            details["beam_gen_200k_ms_trie"] = round(dt_big_trie * 1e3, 1)
+            details["beam_gen_200k_trie_speedup"] = round(dt_gather / dt_big_trie, 2)
+            details["beam_gen_200k_checksum_matches"] = bool(chk_gather == chk_trie)
+    except Exception as e:
+        log(f"200k beam probe failed: {e}")
+
     return sps, max(ups, 64 / dt_trie)
 
 

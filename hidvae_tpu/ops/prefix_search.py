@@ -229,6 +229,18 @@ def build_prefix_tries(sorted_corpus, n_digits: int, budget_bytes: int = 64 << 2
 
     ids = np.asarray(sorted_corpus)
     n, d = ids.shape
+    # Guard: an unsorted table silently yields wrong masks (prefix runs are
+    # only contiguous in lexicographic order). O(N·D) — same cost as the build.
+    if n > 1:
+        diff = ids[1:] != ids[:-1]
+        changed = diff.any(axis=1)
+        first = diff.argmax(axis=1)
+        rows = np.arange(n - 1)
+        if np.any(changed & (ids[:-1][rows, first] > ids[1:][rows, first])):
+            raise ValueError(
+                "build_prefix_tries requires a lexicographically-sorted corpus "
+                "table (use the output of build_prefix_index)"
+            )
     tries = {}
     for i in range(1, d):
         change = np.any(ids[1:, :i] != ids[:-1, :i], axis=1)

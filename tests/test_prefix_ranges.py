@@ -187,3 +187,18 @@ class TestPrefixTries:
         # Level 1 (<=16 nodes) fits the tiny budget; level 2 (~256 nodes) not.
         assert tries[1] is not None
         assert tries[2] is None
+
+    def test_rejects_unsorted_table(self):
+        import pytest
+
+        from hidvae_tpu.ops.prefix_search import build_prefix_tries
+
+        # An unsorted table would silently yield wrong masks (prefix runs are
+        # only contiguous in lexicographic order) — must raise instead.
+        rng = np.random.RandomState(3)
+        corpus = rng.randint(0, 8, (100, 3)).astype(np.int32)
+        with pytest.raises(ValueError, match="sorted"):
+            build_prefix_tries(corpus, 8)
+        # The sorted index is accepted.
+        idx = np.asarray(build_prefix_index(jnp.asarray(corpus)))
+        assert build_prefix_tries(idx, 8)[1] is not None
