@@ -194,6 +194,7 @@ class RetrievalEngine:
         mesh=None,
         shard_params: bool = False,
         stage1_checkpoint=None,
+        reuse_cached_ids: bool = True,
     ):
         self.model = model
         self.tokenizer = tokenizer
@@ -230,10 +231,26 @@ class RetrievalEngine:
         self.params = params
         self.batch_buckets = tuple(sorted({int(b) for b in batch_buckets}))
 
-        # Device-resident serving state.
-        self.corpus_ids = tokenizer.precompute_corpus_ids(
-            item_features, sharding=self._batch_sharding
-        )
+        # Device-resident serving state. A tokenizer that already holds the
+        # full precomputed table for this catalog (built during training, or
+        # by a prior engine) is reused as-is — at 1M items the feature sweep
+        # is ~87 s of the engine build (BASELINE.md round-3 scale table), and
+        # `precompute_corpus_ids` is deterministic for fixed params/features
+        # so a matching cache is the same table. The corpus-collapse audit
+        # below still cross-checks the table against the stage-1 checkpoint's
+        # recorded diversity, so a stale cache from a *different* model fails
+        # loudly rather than serving garbage.
+        cached = getattr(tokenizer, "cached_ids", None)
+        if (
+            reuse_cached_ids
+            and cached is not None
+            and int(cached.shape[0]) == int(np.shape(item_features)[0])
+        ):
+            self.corpus_ids = cached
+        else:
+            self.corpus_ids = tokenizer.precompute_corpus_ids(
+                item_features, sharding=self._batch_sharding
+            )
         self.n_items = int(self.corpus_ids.shape[0])
         self.sem_id_dim = int(self.corpus_ids.shape[1])
         # Same corpus-collapse backstop the stage-2 trainer runs: refuse to

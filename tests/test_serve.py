@@ -269,3 +269,50 @@ class TestInterleavedHServing:
                     np.testing.assert_array_equal(
                         corpus[resolved[r, j]], out["sem_ids"][r, j]
                     )
+
+
+class TestCachedIdsReuse:
+    """Engine build reuses a tokenizer's already-precomputed corpus table
+    instead of re-sweeping the feature matrix (at 1M items the sweep is ~87 s
+    of the build, BASELINE.md round-3 scale table)."""
+
+    def test_engine_reuses_precomputed_table(self, engine, monkeypatch):
+        tok = engine.tokenizer
+        assert tok.cached_ids is not None
+
+        def boom(*a, **k):
+            raise AssertionError("re-swept despite a matching cached table")
+
+        monkeypatch.setattr(type(tok), "precompute_corpus_ids", boom)
+        # Features are deliberately garbage: with a matching cache they must
+        # never be encoded.
+        e2 = RetrievalEngine(
+            engine.model, engine.params, tok,
+            np.zeros((engine.n_items, F), np.float32),
+            max_seq_len=MAX_SEQ, batch_buckets=(4, 8),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(e2.corpus_ids), np.asarray(engine.corpus_ids)
+        )
+
+    def test_reuse_disabled_or_mismatched_resweeps(self, engine, monkeypatch):
+        tok = engine.tokenizer
+
+        def boom(*a, **k):
+            raise AssertionError("swept")
+
+        monkeypatch.setattr(type(tok), "precompute_corpus_ids", boom)
+        feats = np.zeros((engine.n_items, F), np.float32)
+        with pytest.raises(AssertionError, match="swept"):
+            RetrievalEngine(
+                engine.model, engine.params, tok, feats,
+                max_seq_len=MAX_SEQ, batch_buckets=(4, 8),
+                reuse_cached_ids=False,
+            )
+        # A catalog of a different size cannot match the cache either.
+        with pytest.raises(AssertionError, match="swept"):
+            RetrievalEngine(
+                engine.model, engine.params, tok,
+                np.zeros((engine.n_items + 1, F), np.float32),
+                max_seq_len=MAX_SEQ, batch_buckets=(4, 8),
+            )
