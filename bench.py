@@ -522,11 +522,35 @@ def torch_baseline_items_per_sec(cache_path=".bench_baseline.json"):
         return None
 
 
+def warm_readback(details=None):
+    """Absorb the remote tunnel's one-time first-readback stall up front.
+
+    On this environment's remote TPU the FIRST device->host readback in a
+    process blocks 200-650 s while the remote session settles, regardless of
+    size (CLAUDE.md / BASELINE.md); doing it here keeps the stall out of the
+    per-bench log gaps and records its cost transparently."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    x = jax.jit(lambda: jnp.arange(8, dtype=jnp.int32))()
+    jax.block_until_ready(x)
+    t0 = _time.perf_counter()
+    np.asarray(x)
+    dt = _time.perf_counter() - t0
+    log(f"first device->host readback (session settling): {dt:.2f}s")
+    if details is not None:
+        details["first_readback_settle_s"] = round(dt, 2)
+
+
 def main():
     from hidvae_tpu.utils.runtime import configure_runtime
 
     configure_runtime()
     details = {}
+    warm_readback(details)
     ips = measure_stage1_items_per_sec(details=details)
     details["stage1_items_per_sec"] = round(ips, 1)
     try:

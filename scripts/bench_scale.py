@@ -183,9 +183,20 @@ def main():
     from hidvae_tpu.utils.runtime import configure_runtime
 
     configure_runtime()
+    # Absorb the remote tunnel's one-time first-readback stall (200-650 s
+    # regardless of size, CLAUDE.md) so sweep/engine timings measure the
+    # framework, not session settling.
+    x = jax.jit(lambda: jnp.arange(8, dtype=jnp.int32))()
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    np.asarray(x)
+    settle = time.perf_counter() - t0
+    print(f"first device->host readback (session settling): {settle:.2f}s",
+          file=sys.stderr, flush=True)
     sizes = [int(s) for s in sys.argv[1:]] or [200_000, 1_000_000]
     results = [bench_one(n) for n in sizes]
-    print(json.dumps({"scale_bench": results}))
+    print(json.dumps({"scale_bench": results,
+                      "first_readback_settle_s": round(settle, 2)}))
 
 
 if __name__ == "__main__":
