@@ -236,15 +236,21 @@ class RetrievalEngine:
         # by a prior engine) is reused as-is — at 1M items the feature sweep
         # is ~87 s of the engine build (BASELINE.md round-3 scale table), and
         # `precompute_corpus_ids` is deterministic for fixed params/features
-        # so a matching cache is the same table. The corpus-collapse audit
-        # below still cross-checks the table against the stage-1 checkpoint's
-        # recorded diversity, so a stale cache from a *different* model fails
-        # loudly rather than serving garbage.
+        # so a matching cache is the same table. "Matching" is established by
+        # a content fingerprint of the features the cache was swept from
+        # (tokenizer.sweep.features_fingerprint — shape + sampled rows), not
+        # just the row count: a refreshed catalog with the same item count
+        # must trigger a re-sweep, which audit_rebuilt_corpus (same model,
+        # same diversity signature) could not catch.
+        from hidvae_tpu.tokenizer.sweep import features_fingerprint
+
         cached = getattr(tokenizer, "cached_ids", None)
         if (
             reuse_cached_ids
             and cached is not None
-            and int(cached.shape[0]) == int(np.shape(item_features)[0])
+            and getattr(tokenizer, "cached_ids_fingerprint", None) is not None
+            and tokenizer.cached_ids_fingerprint
+            == features_fingerprint(item_features)
         ):
             self.corpus_ids = cached
         else:

@@ -96,6 +96,7 @@ class HSemanticIdTokenizer:
 
     def reset(self):
         self.cached_ids = None
+        self.cached_ids_fingerprint = None
         self._prefix_index = None
         self._prefix_caps = None
         self._prefix_tries = None
@@ -137,11 +138,14 @@ class HSemanticIdTokenizer:
         features are uploaded chunk-by-chunk, double-buffered against the
         encode (tokenizer/sweep.py); device-resident features are sliced in
         place."""
+        from hidvae_tpu.tokenizer.sweep import features_fingerprint
+
         ids = self._corpus_ids_for(item_features, sharding)
         if self.use_dedup_dim:
             ranks = duplicate_ranks(ids)
             ids = jnp.concatenate([ids, ranks[:, None]], axis=-1)
         self.cached_ids = ids
+        self.cached_ids_fingerprint = features_fingerprint(item_features)
         self._prefix_index = build_prefix_index(ids)
         return self.cached_ids
 

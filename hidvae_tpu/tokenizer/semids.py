@@ -87,6 +87,7 @@ class SemanticIdTokenizer:
 
     def reset(self):
         self.cached_ids = None
+        self.cached_ids_fingerprint = None
         self._prefix_index = None
         self._prefix_caps = None
         self._prefix_tries = None
@@ -110,11 +111,14 @@ class SemanticIdTokenizer:
 
         Optional `sharding` (NamedSharding over a 'data' mesh axis) runs the
         sweep data-parallel across devices; see HSemanticIdTokenizer."""
+        from hidvae_tpu.tokenizer.sweep import features_fingerprint
+
         sem_ids = self._corpus_ids_for(item_features, sharding)
         if self.use_dedup_dim:
             ranks = duplicate_ranks(sem_ids)
             sem_ids = jnp.concatenate([sem_ids, ranks[:, None]], axis=-1)
         self.cached_ids = sem_ids
+        self.cached_ids_fingerprint = features_fingerprint(item_features)
         self._prefix_index = build_prefix_index(sem_ids)
         return self.cached_ids
 

@@ -24,6 +24,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def features_fingerprint(item_features) -> str:
+    """Cheap content fingerprint of a feature matrix: shape + up to 64 evenly
+    spaced rows, SHA-1 hashed. Used to tie a precomputed corpus-ID table to
+    the exact features it was swept from, so a same-shaped but refreshed
+    catalog can never silently reuse a stale table (serve/engine.py). For
+    device-resident features the readback is 64 rows — negligible."""
+    import hashlib
+
+    n = int(item_features.shape[0])
+    take = min(n, 64)
+    if take:
+        idx = np.linspace(0, n - 1, take).astype(np.int64)
+        rows = np.asarray(item_features[idx], np.float32)
+    else:
+        rows = np.zeros((0,), np.float32)
+    h = hashlib.sha1()
+    h.update(repr(tuple(int(s) for s in item_features.shape)).encode())
+    h.update(np.ascontiguousarray(rows).tobytes())
+    return h.hexdigest()
+
+
 def sweep_corpus(
     encode_block: Callable[[jax.Array], jax.Array],
     item_features,

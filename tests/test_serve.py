@@ -284,11 +284,12 @@ class TestCachedIdsReuse:
             raise AssertionError("re-swept despite a matching cached table")
 
         monkeypatch.setattr(type(tok), "precompute_corpus_ids", boom)
-        # Features are deliberately garbage: with a matching cache they must
-        # never be encoded.
+        # The SAME feature content (recreated, not the same object — reuse is
+        # keyed on a content fingerprint, not identity) must never be
+        # re-encoded.
         e2 = RetrievalEngine(
             engine.model, engine.params, tok,
-            np.zeros((engine.n_items, F), np.float32),
+            jax.random.normal(jax.random.key(20), (N_ITEMS, F)),
             max_seq_len=MAX_SEQ, batch_buckets=(4, 8),
         )
         np.testing.assert_array_equal(
@@ -314,5 +315,14 @@ class TestCachedIdsReuse:
             RetrievalEngine(
                 engine.model, engine.params, tok,
                 np.zeros((engine.n_items + 1, F), np.float32),
+                max_seq_len=MAX_SEQ, batch_buckets=(4, 8),
+            )
+        # Nor can a refreshed catalog with the SAME item count but different
+        # feature content — the fingerprint (not just shape[0]) must differ,
+        # forcing a re-sweep (the round-3 advisor's stale-table finding).
+        with pytest.raises(AssertionError, match="swept"):
+            RetrievalEngine(
+                engine.model, engine.params, tok,
+                np.zeros((engine.n_items, F), np.float32),
                 max_seq_len=MAX_SEQ, batch_buckets=(4, 8),
             )
