@@ -211,7 +211,16 @@ class HRqVae(nn.Module):
     def resolved_tag_class_counts(self):
         if self.tag_class_counts is None:
             return [10, 100, 1000][: self.n_layers]  # ref h_rqvae.py:279-283
-        return list(self.tag_class_counts)[: self.n_layers]
+        counts = list(self.tag_class_counts)[: self.n_layers]
+        # Trailing non-positive counts mark untagged levels: when n_layers
+        # exceeds the dataset's tag depth the trainer pads tags with -1 and
+        # derives a 0 class count for the extra levels (train/hidvae.py:335,
+        # train/tags.py::reconcile_tag_layers) — those levels quantize the
+        # residual with no tag head (a zero-class head would be a zero-width
+        # Dense and crash the initializer).
+        while counts and int(counts[-1]) <= 0:
+            counts.pop()
+        return counts
 
     @property
     def n_tag_levels(self):

@@ -276,6 +276,30 @@ class TestUntaggedExtraLevels:
         for t, c in enumerate(TAG_COUNTS):
             assert ids_np[:, 4 + t].max() < c
 
+    def test_trailing_zero_counts_mark_untagged_levels(self):
+        """Regression: the trainer pads tags to n_layers with -1 and derives a
+        0 class count for the extra levels (train/hidvae.py:335), so the model
+        receives e.g. [33, 257, 2049, 0] — the trailing 0 must mean "untagged
+        level", not a zero-width tag head (which crashed variance-scaling init
+        with ZeroDivisionError on the first xl4 run)."""
+        padded = list(TAG_COUNTS) + [0]
+        model = make_hrqvae(n_layers=4, tag_class_counts=padded)
+        assert model.n_tag_levels == L
+        assert model.resolved_tag_class_counts == list(TAG_COUNTS)
+        x = jax.random.normal(jax.random.key(5), (B, F))
+        tags_emb = jax.random.normal(jax.random.key(6), (B, 4, 24))
+        tags_idx = np.full((B, 4), -1, np.int32)
+        for i, c in enumerate(TAG_COUNTS):
+            tags_idx[:, i] = np.asarray(
+                jax.random.randint(jax.random.key(i), (B,), 0, c)
+            )
+        tags_idx = jnp.asarray(tags_idx)
+        variables = model.init(rngs(), x, tags_emb, tags_idx, 0.2, train=False)
+        heads = [k for k in variables["params"] if k.startswith("tag_predictor_")]
+        assert sorted(heads) == [f"tag_predictor_{i}" for i in range(L)]
+        out = model.apply(variables, x, tags_emb, tags_idx, 0.2, train=False)
+        assert np.isfinite(float(out.loss))
+
 
 class TestMixedPrecision:
     """Stage-1 AMP: bf16 matmul compute, fp32 params/quantizer/losses
