@@ -276,8 +276,10 @@ def load_completion_progress(progress_path: str) -> Dict[int, List[int]]:
             try:
                 rec = json.loads(line)
                 done[int(rec["row"])] = [int(t) for t in rec["tags"]]
-            except (ValueError, KeyError):
-                # A torn final line from a crash mid-write is expected; skip it.
+            except (ValueError, KeyError, TypeError):
+                # A torn or malformed record (truncated JSON, missing key, or
+                # a null/non-iterable "tags") from a crash mid-write is
+                # expected; skip it.
                 logger.warning(f"skipping torn progress record: {line[:80]!r}")
     return done
 

@@ -60,12 +60,12 @@ def tag_alignment_loss(
     cb = l2norm(codebook_emb, axis=-1)
     tg = l2norm(tag_emb, axis=-1)
     logits = jnp.dot(cb, tg.T, preferred_element_type=jnp.float32) / temperature
-    b = logits.shape[0]
     # Diagonal-target cross entropy as diag - logsumexp(row): same math as
-    # log_softmax + diagonal gather, but the [B, B] log-prob matrix is never
-    # materialized in HBM — at bs4096 that matrix is 67 MB and this loss (x3
-    # levels, fwd+bwd) dominates the step's HBM traffic (BASELINE.md stage-1
-    # attribution).
+    # log_softmax + diagonal gather, but one of the two [B, B] intermediates
+    # (the log-prob matrix) is never formed — logsumexp still reads `logits`
+    # once, so this halves the loss's HBM traffic rather than eliminating it.
+    # At bs4096 each [B, B] fp32 matrix is 67 MB and this loss runs x3 levels,
+    # fwd+bwd (BASELINE.md stage-1 attribution).
     diag = jnp.sum((cb * tg).astype(jnp.float32), axis=-1) / temperature
     loss = -jnp.mean(diag - jax.scipy.special.logsumexp(logits, axis=-1))
     layer_weight = 1.0 / (layer_idx * 0.5 + 1.0)

@@ -162,11 +162,11 @@ class ReduceLROnPlateau:
     threshold/cooldown): step() on each eval loss; after > `patience`
     consecutive non-improving evals the LR multiplier shrinks by `factor`.
 
-    The multiplier itself persists in opt_state (PlateauScale) and therefore
-    survives checkpoint/resume; the best/bad-count counters are host state
-    and reset on resume — the reference never supported the scheduler at all
-    (it is commented out, ref train_hidvae.py:646-650), so there is no
-    counter-resume contract to match (PARITY.md deviation list)."""
+    The multiplier itself persists in opt_state (PlateauScale); the
+    best/bad-count/cooldown counters persist through the checkpoint's
+    meta.json (`state_dict`/`load_state_dict`, saved by the trainers) so a
+    resumed plateau run continues the exact LR-scale trajectory of an
+    uninterrupted one — the framework's bit-identical-resume standard."""
 
     def __init__(self, factor: float = 0.5, patience: int = 10,
                  threshold: float = 1e-4, cooldown: int = 0,
@@ -182,20 +182,40 @@ class ReduceLROnPlateau:
         self.cooldown_counter = 0
 
     def step(self, value: float) -> float:
+        # Exactly torch's ReduceLROnPlateau.step flow: the cooldown counter
+        # decrements on EVERY step while in cooldown (including improving
+        # ones), and improvement is checked before — not instead of — it.
         value = float(value)
         if self.best is None or value < self.best * (1.0 - self.threshold):
             self.best = value
             self.num_bad = 0
-        elif self.cooldown_counter > 0:
-            self.cooldown_counter -= 1
-            self.num_bad = 0
         else:
             self.num_bad += 1
-            if self.num_bad > self.patience:
-                self.scale = max(self.scale * self.factor, self.min_scale)
-                self.cooldown_counter = self.cooldown
-                self.num_bad = 0
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad = 0
+        if self.num_bad > self.patience:
+            self.scale = max(self.scale * self.factor, self.min_scale)
+            self.cooldown_counter = self.cooldown
+            self.num_bad = 0
         return self.scale
+
+    def state_dict(self) -> dict:
+        """Host-side counters for checkpoint meta (the multiplier itself also
+        rides in opt_state; storing `scale` here keeps the meta self-describing
+        and guards against a meta/opt_state skew on partial restores)."""
+        return {
+            "scale": self.scale,
+            "best": self.best,
+            "num_bad": self.num_bad,
+            "cooldown_counter": self.cooldown_counter,
+        }
+
+    def load_state_dict(self, state: dict):
+        self.scale = float(state["scale"])
+        self.best = None if state["best"] is None else float(state["best"])
+        self.num_bad = int(state["num_bad"])
+        self.cooldown_counter = int(state["cooldown_counter"])
 
 
 def make_optimizer(
@@ -267,11 +287,16 @@ def save_checkpoint(save_dir: str, name: str, payload: dict):
     path = os.path.abspath(os.path.join(save_dir, name))
     ckptr = ocp.StandardCheckpointer()
     arrays = serialization.to_state_dict(
-        {k: v for k, v in payload.items() if k not in ("model_config", "metrics")}
+        {k: v for k, v in payload.items()
+         if k not in ("model_config", "metrics", "plateau")}
     )
     ckptr.save(path, arrays, force=True)
     ckptr.wait_until_finished()
-    meta = {k: payload[k] for k in ("model_config", "metrics") if k in payload}
+    meta = {
+        k: payload[k]
+        for k in ("model_config", "metrics", "plateau")
+        if k in payload
+    }
     if meta:
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f, indent=2, default=str)
@@ -309,7 +334,7 @@ def restore_checkpoint(path: str, example_payload: dict, *, lenient: bool = True
     log = logging.getLogger("hidvae_tpu.checkpoint")
     arrays = {
         k: v for k, v in example_payload.items()
-        if k not in ("model_config", "metrics")
+        if k not in ("model_config", "metrics", "plateau")
     }
     abspath = os.path.abspath(path)
     if not lenient:
@@ -356,7 +381,13 @@ def restore_checkpoint(path: str, example_payload: dict, *, lenient: bool = True
                     jnp.asarray(src).astype(getattr(value, "dtype", None))
                     if hasattr(value, "dtype") else src
                 )
-        if mismatched and len(mismatched) > mismatch_tolerance * max(n_param_leaves, 1):
+        # The tolerance is relative with an absolute floor: a legitimate
+        # rare-tag-head rebuild touches ~2 leaves (kernel+bias) per quantizer
+        # level, which on a tiny model can exceed 10% of all param leaves —
+        # allow at least 8 mismatched leaves before declaring the checkpoint
+        # structurally incompatible.
+        allowed = max(mismatch_tolerance * max(n_param_leaves, 1), 8)
+        if mismatched and len(mismatched) > allowed:
             raise ValueError(
                 f"checkpoint {path} is structurally incompatible with the "
                 f"requested model: {len(mismatched)}/{n_param_leaves} param "

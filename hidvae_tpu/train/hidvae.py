@@ -478,6 +478,14 @@ def train(
         batch_stats = restored["batch_stats"]
         opt_state = restored["opt_state"]
         start_iter = int(restored["step"])
+        if plateau_ctl is not None and restored.get("plateau") is not None:
+            # Resume the host-side plateau counters (best/num_bad/cooldown)
+            # so the LR-scale trajectory continues exactly where it left off;
+            # the multiplier itself already rides in opt_state.
+            plateau_ctl.load_state_dict(restored["plateau"])
+            logger.info(
+                f"Restored ReduceLROnPlateau state: {plateau_ctl.state_dict()}"
+            )
         logger.info(f"Restored pretrained HRqVae from {pretrained_hrqvae_path} "
                     f"(iter {start_iter})")
     elif use_kmeans_init:
@@ -684,7 +692,8 @@ def train(
                         f"hrqvae_ACC{eval_acc:.4f}_"
                         f"RQLOSS{eval_metrics['rqvae_loss']:.4f}_DUPR{rep:.4f}"
                     )
-                    path = _save(save_dir, name, state, model, eval_metrics, rep)
+                    path = _save(save_dir, name, state, model, eval_metrics,
+                                 rep, plateau_ctl)
                     saved_paths.append(path)
                     logger.info(f"Gated checkpoint saved: {path}")
         if do_save_now:
@@ -693,7 +702,8 @@ def train(
             # stale audit is never recorded (rep=None disables the guard
             # rather than risking a false collapse error).
             rep_now = last_audit[1] if last_audit[0] == it else None
-            path = _save(save_dir, "latest", state, model, {}, rep_now)
+            path = _save(save_dir, "latest", state, model, {}, rep_now,
+                         plateau_ctl)
             saved_paths.append(path)
 
     if make_plots:
@@ -757,7 +767,7 @@ def _run_eval(eval_step, tta_predict, eval_dataset, batch_size, has_tags,
     return out
 
 
-def _save(save_dir, name, state, model, eval_metrics, rep):
+def _save(save_dir, name, state, model, eval_metrics, rep, plateau_ctl=None):
     payload = {
         "step": state.step,
         "params": state.params,
@@ -770,4 +780,6 @@ def _save(save_dir, name, state, model, eval_metrics, rep):
         "model_config": structural_model_config(model),
         "metrics": {**eval_metrics, "repetition_rate": rep},
     }
+    if plateau_ctl is not None:
+        payload["plateau"] = plateau_ctl.state_dict()
     return save_checkpoint(save_dir, name, payload)

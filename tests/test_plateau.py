@@ -49,6 +49,60 @@ def test_controller_matches_torch_semantics():
         )
 
 
+def test_controller_cooldown_matches_torch():
+    """Cooldown semantics: torch decrements cooldown_counter on EVERY step
+    while in cooldown, including improving ones (round-3 advisor finding)."""
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.RandomState(1)
+    losses = np.concatenate([
+        np.linspace(2.0, 1.0, 4),
+        np.full(8, 1.0) + rng.rand(8) * 1e-6,
+        np.linspace(0.99, 0.7, 3),   # improves DURING cooldown
+        np.full(20, 0.7) + rng.rand(20) * 1e-6,
+    ])
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1.0)
+    tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.5, patience=1, cooldown=3
+    )
+    ours = ReduceLROnPlateau(factor=0.5, patience=1, cooldown=3)
+
+    for loss in losses:
+        tsched.step(float(loss))
+        scale = ours.step(float(loss))
+        assert np.isclose(opt.param_groups[0]["lr"], scale), (
+            loss, opt.param_groups[0]["lr"], scale,
+        )
+
+
+def test_counters_roundtrip_resume_equivalence():
+    """Splitting a loss sequence across a state_dict round-trip (through JSON,
+    as checkpoint meta does) yields the exact scale trajectory of the
+    uninterrupted controller."""
+    import json
+
+    losses = [2.0, 1.5, 1.5, 1.5, 1.5, 1.4, 1.4, 1.4, 1.4, 1.4, 1.4]
+    full = ReduceLROnPlateau(factor=0.5, patience=2)
+    traj_full = [full.step(v) for v in losses]
+
+    a = ReduceLROnPlateau(factor=0.5, patience=2)
+    traj = [a.step(v) for v in losses[:4]]
+    blob = json.loads(json.dumps(a.state_dict()))
+    b = ReduceLROnPlateau(factor=0.5, patience=2)
+    b.load_state_dict(blob)
+    traj += [b.step(v) for v in losses[4:]]
+    assert traj == traj_full
+
+    # Without the counter restore the continuation diverges (this is the
+    # round-3 resume-semantics exception the persistence removes).
+    c = ReduceLROnPlateau(factor=0.5, patience=2)
+    c.scale = a.scale
+    naive = [c.step(v) for v in losses[4:]]
+    assert naive != traj_full[4:]
+
+
 def test_min_scale_floor():
     ctl = ReduceLROnPlateau(factor=0.1, patience=0, min_scale=0.05)
     ctl.step(1.0)
@@ -135,3 +189,48 @@ def test_trainer_reduces_lr_on_plateau(tmp_path):
     # With patience 0 and an effectively frozen model (lr ~ 0), at least one
     # reduction fired over the 8 per-iteration evals.
     assert scale is not None and scale < 1.0, scale
+
+
+def test_trainer_plateau_resume_matches_uninterrupted(tmp_path):
+    """Full resume equivalence (VERDICT r3 next #8): train 8 == train 4,
+    checkpoint, restore, train 4 — the plateau LR-scale trajectory continues
+    exactly because best/num_bad/cooldown persist in checkpoint meta (without
+    them the resumed controller re-seeds `best` and skips a reduction)."""
+    from hidvae_tpu.data.processed import RecDataset, processed_path
+    from hidvae_tpu.data.synthetic import build_synthetic
+    from hidvae_tpu.train.common import get_plateau_scale
+    from hidvae_tpu.train.hidvae import train
+
+    root = str(tmp_path / "data")
+    arrays = build_synthetic(
+        n_items=64, n_users=16, feature_dim=24, tag_dim=12,
+        max_seq_len=8, min_seq_len=4, level_branching=(4, 2, 2), seed=0,
+    )
+    arrays.save(processed_path(root, RecDataset.SYNTHETIC))
+    common = dict(
+        batch_size=8, dataset_folder=root,
+        dataset=RecDataset.SYNTHETIC,
+        eval_every=1, eval_batches=1,
+        vae_input_dim=24, vae_n_cat_feats=0, vae_hidden_dims=(16,),
+        vae_embed_dim=8, vae_codebook_size=16, vae_n_layers=2,
+        tag_embed_dim=12, rare_tag_threshold=2,
+        use_lr_scheduler=True, lr_scheduler_type="reduce_on_plateau",
+        lr_scheduler_factor=0.5, lr_scheduler_patience=1,
+        learning_rate=1e-9,  # frozen model: eval loss never improves
+        use_kmeans_init=False, make_plots=False, eval_tta=False,
+    )
+
+    full = train(iterations=8, save_model_every=100,
+                 save_dir_root=str(tmp_path / "full"), **common)
+    scale_full = get_plateau_scale(full["state"].opt_state)
+
+    first = train(iterations=4, save_model_every=4,
+                  save_dir_root=str(tmp_path / "half"), **common)
+    ckpt = [p for p in first["saved_paths"] if p.endswith("latest")][-1]
+    resumed = train(iterations=4, save_model_every=100,
+                    save_dir_root=str(tmp_path / "resumed"),
+                    pretrained_hrqvae_path=ckpt, **common)
+    scale_resumed = get_plateau_scale(resumed["state"].opt_state)
+
+    assert scale_full is not None and scale_full < 1.0
+    assert scale_resumed == pytest.approx(scale_full)
