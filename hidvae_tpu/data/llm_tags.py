@@ -369,3 +369,34 @@ def complete_tags_llm(
     if (tags == -1).any():
         tags = complete_tags_hierarchical(item_features, tags, tags_emb)
     return tags
+
+
+def fill_empty_titles(
+    item_texts: Sequence[str],
+    tags_indices: np.ndarray,
+    vocabs: Sequence[Sequence[str]],
+) -> List[str]:
+    """Fill empty/whitespace-only item titles with the item's valid tag names
+    joined by spaces (ref fill_kuairand_simple.py:688-744 `fill_empty_titles`
+    — it joins the item's non-empty tag strings as the new title). Items whose
+    tags are all missing keep their (empty) title, as in the reference.
+
+    Returns a new list; the input is not mutated."""
+    out = list(item_texts)
+    filled = 0
+    for i, text in enumerate(out):
+        if text is not None and str(text).strip():
+            continue
+        names = [
+            vocabs[l][t]
+            for l, t in enumerate(tags_indices[i])
+            if 0 <= int(t) < len(vocabs[l]) and str(vocabs[l][t]).strip()
+        ]
+        if names:
+            out[i] = " ".join(names)
+            filled += 1
+    logger.info(
+        f"fill_empty_titles: filled {filled} empty titles "
+        f"out of {len(out)} items"
+    )
+    return out

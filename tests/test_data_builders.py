@@ -501,6 +501,25 @@ class TestTagCompletion:
         with pytest.raises(ValueError, match="deterministic"):
             LLMPool([])
 
+    def test_fill_empty_titles(self):
+        """Parity with ref fill_kuairand_simple.py:688-744: empty/whitespace
+        titles become the item's valid tag names joined by spaces; items with
+        no valid tags keep their empty title; the input is not mutated."""
+        from hidvae_tpu.data.llm_tags import fill_empty_titles
+
+        vocabs = [["food", "travel"], ["snacks", "asia", ""], ["x", "y"]]
+        texts = ["keep me", "", "   ", None, ""]
+        tags = np.array([
+            [0, 0, 0],     # has a title: untouched
+            [1, 1, 1],     # empty -> "travel asia y"
+            [0, 2, -1],    # whitespace -> "food" (empty vocab name skipped)
+            [-1, -1, -1],  # no valid tags -> stays None
+            [1, -1, 0],    # -> "travel x"
+        ], np.int32)
+        out = fill_empty_titles(texts, tags, vocabs)
+        assert out == ["keep me", "travel asia y", "food", None, "travel x"]
+        assert texts[1] == ""  # input untouched
+
     def _llm_fixture(self):
         """Toy corpus + vocabs + a duck-typed pool whose chat() answers from
         the ground-truth tags, recovering the row from the prompt payload."""
