@@ -747,9 +747,12 @@ def _run_eval(eval_step, tta_predict, eval_dataset, batch_size, has_tags,
         n += len(batch.x)
 
         if tta_predict is not None:
-            preds = tta_predict(params, batch_stats, x, rng)   # list of [B] per layer
-            tgt = np.asarray(batch.tags_indices)               # [B, L]
+            preds = tta_predict(params, batch_stats, x, rng)   # list of [B] per tag level
+            tgt = np.asarray(batch.tags_indices)               # [B, >= n_tag_levels]
             pred_mat = np.stack([np.asarray(p) for p in preds], axis=1)
+            # Untagged extra quantization levels (n_layers > tag depth) have
+            # no predictions; their padded -1 targets are dropped here.
+            tgt = tgt[:, : pred_mat.shape[1]]
             valid = tgt >= 0
             correct = (pred_mat == tgt) & valid
             if tta_correct is None:

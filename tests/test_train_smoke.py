@@ -147,6 +147,35 @@ class TestHidvaeTrainer:
         # Plots got written.
         assert glob.glob(os.path.join(result["save_dir"], "plots", "*.png"))
 
+    def test_short_run_depth_exceeds_tag_levels(self, dataset_root, tmp_path):
+        """Regression for the xl4 config path (vae_n_layers=4 over a 3-level
+        tag dataset): the derived counts gain a trailing 0 for the untagged
+        level (no zero-width tag head) and the TTA eval compares predictions
+        against the tag levels only, not the -1-padded 4th column."""
+        from hidvae_tpu.train.hidvae import train
+
+        result = train(
+            iterations=4, batch_size=16, learning_rate=1e-3,
+            dataset_folder=dataset_root, dataset=RecDataset.SYNTHETIC,
+            save_dir_root=str(tmp_path / "out"),
+            eval_every=4, save_model_every=4,
+            vae_input_dim=TINY["feature_dim"], vae_n_cat_feats=0,
+            vae_hidden_dims=(32, 16), vae_embed_dim=8,
+            vae_codebook_size=32, vae_n_layers=4,
+            tag_embed_dim=TINY["tag_dim"], rare_tag_threshold=3,
+            use_focal_loss=True, eval_batches=2, log_every=2,
+            make_plots=False, eval_tta=True, id_repetition_threshold=1.0,
+        )
+        hist = result["history"]
+        assert np.isfinite(hist["total_loss"]).all()
+        # 4 levels of class counts recorded, last one the untagged 0.
+        assert len(result["tag_class_counts"]) == 4
+        assert int(result["tag_class_counts"][-1]) == 0
+        # TTA reported per tag level only.
+        assert len(hist["eval_tag_pred_accuracy"]) >= 1
+        # 4-digit semantic IDs in the diversity audit path.
+        assert len(hist["codebook_usage"]) == 4
+
     def test_checkpoint_roundtrip(self, dataset_root, tmp_path):
         from hidvae_tpu.train.common import restore_checkpoint
         from hidvae_tpu.train.hidvae import train
