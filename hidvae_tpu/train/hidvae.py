@@ -287,6 +287,7 @@ def train(
     log_every=100,
     eval_batches=None,
     make_plots=True,
+    device_data_dtype="float32",
 ):
     """Train the HiD-VAE tokenizer. Returns a result dict with the final
     state, tokenizer, and metric history."""
@@ -551,9 +552,20 @@ def train(
     # hidvae_tpu.train.device_data). The host only logs and checkpoints.
     from hidvae_tpu.train.device_data import DeviceItemData
 
+    # Storage dtype for the device-resident training data (TPU-native extra;
+    # the reference streams fp32 batches from a host DataLoader every step).
+    # 'bfloat16' halves the HBM footprint of the feature/tag-embedding tables
+    # — the lever that fits a 1M-item corpus (3 GB features + 9 GB tag
+    # embeddings in fp32) next to the model on one 16 GB v5e chip. Under AMP
+    # the matmuls consume bf16 anyway; the quantizer/losses still compute in
+    # fp32 on the (bf16-rounded) gathered values. Eval/k-means/index-audit
+    # paths stay fp32 host-side.
+    ddtype = jnp.bfloat16 if str(device_data_dtype).lower() in (
+        "bf16", "bfloat16") else jnp.float32
     ddata = DeviceItemData(
-        x=jnp.asarray(train_dataset.item_features),
-        tags_emb=jnp.asarray(train_dataset.tags_emb) if has_tags else None,
+        x=jnp.asarray(train_dataset.item_features, ddtype),
+        tags_emb=(jnp.asarray(train_dataset.tags_emb, ddtype)
+                  if has_tags else None),
         tags_indices=jnp.asarray(train_dataset.tags_indices) if has_tags else None,
     )
     # Evals/saves fire at chunk boundaries, so the chunk must not be coarser
