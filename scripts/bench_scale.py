@@ -151,6 +151,47 @@ def bench_one(n_items: int, request_users: int = 64, max_seq_len: int = 20):
         file=sys.stderr, flush=True,
     )
 
+    # --- serving batch knee (VERDICT r3 next #4): users/s and beam-gen MFU
+    # for a fixed 1024-user request as the batch bucket grows. Round 3 found
+    # 64-user and 1k-user requests at identical users/s because both chunk
+    # sequentially through one small bucket; this measures where (whether)
+    # batch amortization saturates.
+    knee = []
+    knee_buckets = [
+        int(b) for b in os.environ.get(
+            "HIDVAE_KNEE_BUCKETS", "128,256,512,1024").split(",")
+    ]
+    big_req = rng.randint(0, n_items, (1024, max_seq_len))
+    for bucket in knee_buckets:
+        engine.batch_buckets = (bucket,)
+        engine._serve_fns = {}
+        engine.warmup()
+        lats = []
+        for _ in range(3):
+            out_k = engine.recommend(big_req, top_k=10)
+            lats.append(out_k["latency_s"])
+        wall = sorted(lats)[1]
+        row = {"bucket": bucket, "users_per_sec": round(1024 / wall, 1),
+               "ms_per_1024_users": round(wall * 1e3, 1)}
+        try:
+            fn = engine._serve_fn(bucket)
+            args = (
+                engine.params, engine.tokenizer.cached_ids, engine.sorted_ids,
+                engine.perm, engine.prefix_tries,
+                jnp.zeros((bucket,), jnp.int32),
+                jnp.zeros((bucket, max_seq_len), jnp.int32),
+            )
+            fl = float(fn.lower(*args).compile().cost_analysis()["flops"])
+            row["tflop_per_batch"] = round(fl / 1e12, 4)
+            row["beam_mfu"] = round(fl * (1024 / bucket) / wall / 197e12, 4)
+        except Exception as e:  # cost analysis is best-effort
+            print(f"cost_analysis unavailable at bucket {bucket}: {e}",
+                  file=sys.stderr, flush=True)
+        knee.append(row)
+        print(f"knee bucket {bucket}: {row}", file=sys.stderr, flush=True)
+    engine.batch_buckets = (request_users,)
+    engine._serve_fns = {}
+
     print(
         f"serve: {lat_ms:.0f} ms / {request_users}-user request "
         f"({ups:.0f} users/s, trie masks), top-10 resolved {resolved:.3f}, "
@@ -176,6 +217,7 @@ def bench_one(n_items: int, request_users: int = 64, max_seq_len: int = 20):
         "serve_1k_users_ms": round(big_wall * 1e3, 1),
         "serve_1k_users_per_sec": round(big_ups, 1),
         "serve_1k_host_cpu_ms": round(big_host_cpu * 1e3, 1),
+        "bucket_knee": knee,
     }
 
 
