@@ -29,18 +29,41 @@ class DeviceItemData(NamedTuple):
     x: jax.Array                      # [n, F]
     tags_emb: Optional[jax.Array]     # [n, L, Td] or None
     tags_indices: Optional[jax.Array]  # [n, L] or None
+    # Optional duplicate-pair mining pool [P, 2] int32 (TPU-native extra, no
+    # reference counterpart): rows are item-index pairs whose semantic-ID
+    # tuples currently collide, harvested by the trainer from the periodic
+    # corpus audit. Sampling `n_pair_rows` of them per batch guarantees
+    # in-batch ID collisions, giving the uniqueness loss a signal that scales
+    # with the CORPUS duplicate structure instead of the batch-birthday
+    # probability (~1% at bs1024 over 200k items — the measured reason the
+    # 0.06 repetition gate cannot fire at scale; BASELINE.md XL section).
+    mining_pairs: Optional[jax.Array] = None
 
     @property
     def n(self):
         return self.x.shape[0]
 
-    def sample(self, rng, batch_size: int):
-        idx = jax.random.randint(rng, (batch_size,), 0, self.n)
+    def _gather(self, idx):
         return (
             jnp.take(self.x, idx, axis=0),
             None if self.tags_emb is None else jnp.take(self.tags_emb, idx, axis=0),
             None if self.tags_indices is None else jnp.take(self.tags_indices, idx, axis=0),
         )
+
+    def sample(self, rng, batch_size: int, n_pair_rows: int = 0):
+        if n_pair_rows and self.mining_pairs is not None:
+            r_pairs, r_rest = jax.random.split(rng)
+            pr = jax.random.randint(
+                r_pairs, (n_pair_rows,), 0, self.mining_pairs.shape[0]
+            )
+            pair_idx = jnp.take(self.mining_pairs, pr, axis=0).reshape(-1)
+            rest = jax.random.randint(
+                r_rest, (batch_size - 2 * n_pair_rows,), 0, self.n
+            )
+            idx = jnp.concatenate([pair_idx, rest])
+        else:
+            idx = jax.random.randint(rng, (batch_size,), 0, self.n)
+        return self._gather(idx)
 
 
 class DeviceSeqData(NamedTuple):
@@ -122,3 +145,48 @@ def tokenize_on_device(cached_ids, user_ids, items, fut):
         token_type_ids=ttids,
         token_type_ids_fut=jnp.tile(jnp.arange(d, dtype=jnp.int32), (b, 1)),
     )
+
+
+def harvest_duplicate_pairs(corpus_ids, split_globals, pool_size: int, np_rng):
+    """Harvest a fixed-size pool of colliding item-index PAIRS from a corpus
+    audit (host-side; numpy). TPU-native extra — the reference's uniqueness
+    loss only ever sees random in-batch collisions (h_rqvae.py:25-105).
+
+    corpus_ids: [N, D] semantic-ID table over ALL items (the audit's table).
+    split_globals: sorted global indices of the training split's items
+      (ItemData.indices) — pairs are remapped to split-local positions and
+      pairs touching items outside the split are dropped.
+    pool_size: rows in the returned [pool_size, 2] int32 pool (resampled with
+      replacement when fewer collisions exist; subsampled when more).
+
+    Returns None when no intra-split collision exists (mining disables until
+    the next audit)."""
+    import numpy as np
+
+    _, inverse, counts = np.unique(
+        corpus_ids, axis=0, return_inverse=True, return_counts=True
+    )
+    if int(counts.max(initial=0)) < 2:
+        return None
+    order = np.argsort(inverse, kind="stable")
+    a, b = order[:-1], order[1:]
+    same = inverse[a] == inverse[b]
+    pa, pb = a[same], b[same]
+
+    sg = np.asarray(split_globals)
+
+    def to_local(vals):
+        pos = np.searchsorted(sg, vals)
+        pos_c = np.clip(pos, 0, len(sg) - 1)
+        return (pos < len(sg)) & (sg[pos_c] == vals), pos_c
+
+    ok_a, la = to_local(pa)
+    ok_b, lb = to_local(pb)
+    ok = ok_a & ok_b
+    if not ok.any():
+        return None
+    pairs = np.stack([la[ok], lb[ok]], axis=1).astype(np.int32)
+    take = np_rng.choice(
+        len(pairs), size=pool_size, replace=len(pairs) < pool_size
+    )
+    return pairs[take]

@@ -288,6 +288,9 @@ def train(
     eval_batches=None,
     make_plots=True,
     device_data_dtype="float32",
+    sem_id_mining=False,
+    sem_id_mining_frac=0.25,
+    sem_id_mining_pool=32768,
 ):
     """Train the HiD-VAE tokenizer. Returns a result dict with the final
     state, tokenizer, and metric history."""
@@ -562,11 +565,37 @@ def train(
     # paths stay fp32 host-side.
     ddtype = jnp.bfloat16 if str(device_data_dtype).lower() in (
         "bf16", "bfloat16") else jnp.float32
+    # Duplicate-pair mining (TPU-native extra; device_data.py docstring): at
+    # each corpus audit the colliding item pairs are harvested into a
+    # fixed-shape device pool, and a fraction of every batch is drawn from it
+    # — guaranteed in-batch ID collisions, so the uniqueness loss gets a
+    # signal that scales with the corpus instead of the ~B/N batch-birthday
+    # rate. Zero recompiles: the pool is a fixed-shape leaf of the `data` jit
+    # argument, seeded uniform (≈ plain sampling) until the first audit. On
+    # resume the pool re-seeds uniform until the next audit re-harvests it
+    # (PARITY deviation list).
+    n_pair_rows = (
+        int(batch_size * sem_id_mining_frac) // 2 if sem_id_mining else 0
+    )
+    init_pairs = (
+        jnp.asarray(
+            np_rng.randint(0, len(train_dataset), (sem_id_mining_pool, 2)),
+            jnp.int32,
+        )
+        if n_pair_rows
+        else None
+    )
+    if n_pair_rows:
+        logger.info(
+            f"Semantic-ID duplicate mining ON: {n_pair_rows} pairs/batch "
+            f"({2 * n_pair_rows}/{batch_size} rows), pool {sem_id_mining_pool}"
+        )
     ddata = DeviceItemData(
         x=jnp.asarray(train_dataset.item_features, ddtype),
         tags_emb=(jnp.asarray(train_dataset.tags_emb, ddtype)
                   if has_tags else None),
         tags_indices=jnp.asarray(train_dataset.tags_indices) if has_tags else None,
+        mining_pairs=init_pairs,
     )
     # Evals/saves fire at chunk boundaries, so the chunk must not be coarser
     # than ANY host-side cadence — eval_every=1 with the default log_every=100
@@ -592,7 +621,7 @@ def train(
     def train_chunk(state, data, it0):
         def body(carry, i):
             r_sample, r_step = jax.random.split(jax.random.fold_in(step_root, it0 + i))
-            x, te, ti = data.sample(r_sample, batch_size)
+            x, te, ti = data.sample(r_sample, batch_size, n_pair_rows)
             new_state, metrics = train_step(
                 carry, shard_dp(x), shard_dp(te), shard_dp(ti), r_step
             )
@@ -614,7 +643,7 @@ def train(
         else:  # ragged tail chunk
             for j in range(n_now):
                 r_s, r_t = jax.random.split(jax.random.fold_in(step_root, it + j))
-                x, te, ti = ddata.sample(r_s, batch_size)
+                x, te, ti = ddata.sample(r_s, batch_size, n_pair_rows)
                 state, metrics = train_step(state, x, te, ti, r_t)
             mstack = jax.tree_util.tree_map(
                 lambda v: v[None] if v is not None else None, metrics
@@ -683,6 +712,19 @@ def train(
                 tokenizer.precompute_corpus_ids(index_dataset.item_features)
             )
             div = id_diversity_metrics(corpus_ids, vae_codebook_size, vae_n_layers)
+            if n_pair_rows:
+                from hidvae_tpu.train.device_data import harvest_duplicate_pairs
+
+                pairs = harvest_duplicate_pairs(
+                    corpus_ids, train_dataset.indices, sem_id_mining_pool,
+                    np_rng,
+                )
+                if pairs is not None:
+                    ddata = ddata._replace(mining_pairs=jnp.asarray(pairs))
+                    logger.info(
+                        f"Mining pool refreshed from audit @ {it}: "
+                        f"{len(pairs)} pair slots"
+                    )
             history["rqvae_entropy"].append(div["rqvae_entropy"])
             history["max_id_duplicates"].append(div["max_id_duplicates"])
             history["repetition_rate"].append(div["repetition_rate"])

@@ -85,3 +85,82 @@ class TestTokenizeOnDevice:
         np.testing.assert_array_equal(
             np.asarray(out.token_type_ids)[0], [0, 1, 2] * 3
         )
+
+
+class TestDuplicateMining:
+    """Duplicate-pair mining (TPU-native extra): pools of colliding item
+    pairs harvested from the corpus audit, sampled into every batch so the
+    uniqueness loss sees guaranteed collisions at any corpus size."""
+
+    def test_harvest_pairs_and_split_mapping(self):
+        from hidvae_tpu.train.device_data import harvest_duplicate_pairs
+
+        corpus = np.array([
+            [1, 1], [2, 2], [1, 1], [3, 3], [2, 2], [1, 1], [4, 4],
+        ], np.int32)
+        # Items 0,2,5 collide on (1,1); 1,4 on (2,2).
+        rng = np.random.RandomState(0)
+        split = np.arange(7)  # all items in split
+        pairs = harvest_duplicate_pairs(corpus, split, pool_size=64, np_rng=rng)
+        assert pairs.shape == (64, 2)
+        for a, b in pairs:
+            np.testing.assert_array_equal(corpus[a], corpus[b])
+            assert a != b
+
+        # Drop item 5 from the split: its pairs must disappear and survivors
+        # remap to split-local positions.
+        split2 = np.array([0, 1, 2, 3, 4, 6])
+        pairs2 = harvest_duplicate_pairs(corpus, split2, 64, np.random.RandomState(0))
+        glob = split2[pairs2]  # back to global ids
+        for a, b in glob:
+            np.testing.assert_array_equal(corpus[a], corpus[b])
+            assert 5 not in (a, b)
+
+        # No duplicates -> None.
+        uniq = np.arange(10, dtype=np.int32).reshape(5, 2)
+        assert harvest_duplicate_pairs(uniq, np.arange(5), 8,
+                                       np.random.RandomState(0)) is None
+
+    def test_sample_places_pool_pairs_in_batch(self):
+        from hidvae_tpu.train.device_data import DeviceItemData
+
+        n, f = 50, 4
+        x = jnp.arange(n * f, dtype=jnp.float32).reshape(n, f)
+        pool = jnp.asarray([[3, 7], [11, 13]], jnp.int32)
+        d = DeviceItemData(x=x, tags_emb=None, tags_indices=None,
+                           mining_pairs=pool)
+        xb, te, ti = d.sample(jax.random.key(0), batch_size=16, n_pair_rows=4)
+        assert xb.shape == (16, f)
+        # First 8 rows come as adjacent (pool-row) pairs.
+        rows = np.asarray(xb[:8, 0]) / f  # recover item index from features
+        pool_np = np.asarray(pool)
+        for i in range(4):
+            a, b = int(rows[2 * i]), int(rows[2 * i + 1])
+            assert [a, b] in pool_np.tolist()
+        # Without a pool the signature still works.
+        d0 = DeviceItemData(x=x, tags_emb=None, tags_indices=None)
+        xb0, _, _ = d0.sample(jax.random.key(0), 16, n_pair_rows=4)
+        assert xb0.shape == (16, f)
+
+    def test_trainer_smoke_with_mining(self, tmp_path):
+        from hidvae_tpu.data.processed import RecDataset, processed_path
+        from hidvae_tpu.data.synthetic import build_synthetic
+        from hidvae_tpu.train.hidvae import train
+
+        root = str(tmp_path / "data")
+        arrays = build_synthetic(
+            n_items=64, n_users=16, feature_dim=24, tag_dim=12,
+            max_seq_len=8, min_seq_len=4, level_branching=(4, 2, 2), seed=0,
+        )
+        arrays.save(processed_path(root, RecDataset.SYNTHETIC))
+        result = train(
+            iterations=4, batch_size=16, dataset_folder=root,
+            dataset=RecDataset.SYNTHETIC, save_dir_root=str(tmp_path / "out"),
+            eval_every=2, save_model_every=100, eval_batches=1,
+            vae_input_dim=24, vae_n_cat_feats=0, vae_hidden_dims=(16,),
+            vae_embed_dim=8, vae_codebook_size=16, vae_n_layers=2,
+            tag_embed_dim=12, rare_tag_threshold=2,
+            use_kmeans_init=False, make_plots=False, eval_tta=False,
+            sem_id_mining=True, sem_id_mining_frac=0.5, sem_id_mining_pool=32,
+        )
+        assert np.isfinite(result["history"]["total_loss"]).all()
