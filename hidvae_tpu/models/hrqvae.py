@@ -72,6 +72,7 @@ class HRqVaeComputedLosses:
     tag_pred_loss_by_layer: Optional[jax.Array] = None
     tag_pred_accuracy_by_layer: Optional[jax.Array] = None
     sem_id_uniqueness_loss: Optional[jax.Array] = None
+    mined_pair_collision_rate: Optional[jax.Array] = None
 
 
 class TagPredictor(nn.Module):
@@ -443,8 +444,23 @@ class HRqVae(nn.Module):
         gumbel_t: float = 1.0,
         train: bool = False,
         class_counts: Optional[Sequence[jax.Array]] = None,
+        n_mined_pairs: int = 0,
     ) -> HRqVaeComputedLosses:
-        """Full training/eval forward (ref h_rqvae.py:585-672)."""
+        """Full training/eval forward (ref h_rqvae.py:585-672).
+
+        n_mined_pairs > 0 (static) enables the mined-pair uniqueness term
+        (PARITY deviation #18): the first 2*n_mined_pairs rows of x are
+        audit-harvested duplicate pairs laid out pair-adjacent. Collisions are
+        re-verified with an EVAL-mode (deterministic hard-residual) ID pass —
+        the train-mode IDs of this forward are unusable for collision
+        detection, because the rotation-trick estimator propagates |x|*ê (not
+        the codebook vector ê) into the residual chain, so deeper train-mode
+        digits disagree with the audit on every row (the reference inherits
+        the same train/eval divergence, ref quantize.py:134-140 — measured
+        row-level train-vs-eval ID agreement at a trained 200k checkpoint:
+        0.000, scripts/diag_mining.py). Still-colliding pairs are pushed apart
+        in encoder space with the same relu(cos - margin) penalty as the
+        in-batch term, mean over colliding pairs."""
         x = x.astype(jnp.float32)
         if tags_emb is not None:
             tags_emb = tags_emb.astype(jnp.float32)
@@ -466,6 +482,25 @@ class HRqVae(nn.Module):
             margin=self.sem_id_uniqueness_margin,
             weight=self.sem_id_uniqueness_weight,
         )
+        mined_collision_rate = jnp.float32(0.0)
+        if n_mined_pairs > 0:
+            enc_p = encoded[: 2 * n_mined_pairs]
+            ids_clean = jax.lax.stop_gradient(
+                self.get_semantic_ids(enc_p).sem_ids
+            )  # eval-mode hard-residual IDs: agree with the corpus audit
+            pair_ids = ids_clean.reshape(n_mined_pairs, 2, -1)
+            eq = jnp.all(pair_ids[:, 0] == pair_ids[:, 1], axis=-1)
+            f = l2norm(enc_p, axis=-1)
+            cos = jnp.sum(f[0::2] * f[1::2], axis=-1)
+            pen = jax.nn.relu(cos - self.sem_id_uniqueness_margin) * eq
+            n_coll = jnp.sum(eq)
+            mined = jnp.where(
+                n_coll > 0, jnp.sum(pen) / jnp.maximum(n_coll, 1), 0.0
+            )
+            uniq = uniq + self.sem_id_uniqueness_weight * mined
+            mined_collision_rate = jax.lax.stop_gradient(
+                n_coll / n_mined_pairs
+            )
 
         # Total (ref h_rqvae.py:634-640); note the double application of the
         # alignment and uniqueness weights — see module docstring.
@@ -490,6 +525,7 @@ class HRqVae(nn.Module):
             tag_pred_loss_by_layer=quantized.tag_pred_loss_by_layer,
             tag_pred_accuracy_by_layer=quantized.tag_pred_accuracy_by_layer,
             sem_id_uniqueness_loss=uniq,
+            mined_pair_collision_rate=mined_collision_rate,
         )
 
     def predict_tags(self, x, gumbel_t: float = 0.001, noise_rng=None, noise_scale: float = 0.0):

@@ -131,7 +131,8 @@ def build_model(
     )
 
 
-def make_train_step(model, tx, class_counts, gumbel_t: float):
+def make_train_step(model, tx, class_counts, gumbel_t: float,
+                    n_mined_pairs: int = 0):
     """Build the jitted DP train step."""
 
     def train_step(state: TrainState, x, tags_emb, tags_indices, rng):
@@ -143,6 +144,7 @@ def make_train_step(model, tx, class_counts, gumbel_t: float):
                 x, tags_emb, tags_indices, gumbel_t,
                 train=True,
                 class_counts=class_counts,
+                n_mined_pairs=n_mined_pairs,
                 rngs={"gumbel": r_gumbel, "dropout": r_dropout, "mixup": r_mixup},
                 mutable=["batch_stats"],
             )
@@ -163,6 +165,7 @@ def make_train_step(model, tx, class_counts, gumbel_t: float):
             "emb_norms": jnp.mean(out.embs_norm, axis=0),
             "tag_pred_accuracy_by_layer": out.tag_pred_accuracy_by_layer,
             "sem_id_uniqueness_loss": out.sem_id_uniqueness_loss,
+            "mined_pair_collision_rate": out.mined_pair_collision_rate,
         }
         return new_state, metrics
 
@@ -525,8 +528,12 @@ def train(
                     f"({mesh.shape['data']} data shards)")
 
     gumbel_t = 0.2  # fixed by the reference trainers (train_hidvae.py:690)
+    n_pair_rows = (
+        int(batch_size * sem_id_mining_frac) // 2 if sem_id_mining else 0
+    )
     train_step = jax.jit(
-        make_train_step(model, tx, class_counts, gumbel_t),
+        make_train_step(model, tx, class_counts, gumbel_t,
+                        n_mined_pairs=n_pair_rows),
         donate_argnums=(0,),
     )
     eval_step = jax.jit(make_eval_step(model, class_counts, gumbel_t))
@@ -574,9 +581,6 @@ def train(
     # argument, seeded uniform (≈ plain sampling) until the first audit. On
     # resume the pool re-seeds uniform until the next audit re-harvests it
     # (PARITY deviation list).
-    n_pair_rows = (
-        int(batch_size * sem_id_mining_frac) // 2 if sem_id_mining else 0
-    )
     init_pairs = (
         jnp.asarray(
             np_rng.randint(0, len(train_dataset), (sem_id_mining_pool, 2)),
@@ -669,7 +673,9 @@ def train(
             f"recon={m['reconstruction_loss']:.4f} rq={m['rqvae_loss']:.4f} "
             f"align={m['tag_align_loss']:.4f} pred={m['tag_pred_loss']:.4f} "
             f"acc={m['tag_pred_accuracy']:.4f} p_unique={m['p_unique_ids']:.4f} "
-            f"({(it - start_iter) * batch_size / (time.time() - t_start):.0f} items/s)"
+            + (f"mined_coll={m['mined_pair_collision_rate']:.3f} "
+               if n_pair_rows else "")
+            + f"({(it - start_iter) * batch_size / (time.time() - t_start):.0f} items/s)"
         )
 
         def crossed(every):

@@ -164,3 +164,83 @@ class TestDuplicateMining:
             sem_id_mining=True, sem_id_mining_frac=0.5, sem_id_mining_pool=32,
         )
         assert np.isfinite(result["history"]["total_loss"]).all()
+
+
+class TestMinedPairLoss:
+    """The mined-pair uniqueness term re-verifies collisions with an
+    EVAL-mode ID pass (train-mode rotation-trick residuals give IDs that
+    disagree with the audit — hrqvae.py __call__ docstring) and pushes the
+    still-colliding pairs apart in encoder space."""
+
+    def _model(self):
+        from hidvae_tpu.models.hrqvae import HRqVae
+        from hidvae_tpu.models.quantize import QuantizeForwardMode
+
+        return HRqVae(
+            input_dim=12, embed_dim=8, hidden_dims=(16,), codebook_size=8,
+            n_layers=2, n_cat_features=0, tag_class_counts=[3, 3],
+            tag_embed_dim=6,
+            codebook_mode=QuantizeForwardMode.ROTATION_TRICK,
+            sem_id_uniqueness_weight=2.0, sem_id_uniqueness_margin=0.0,
+        )
+
+    def _setup(self):
+        model = self._model()
+        rng = np.random.RandomState(0)
+        # Rows 0,1 are an exact duplicate pair (same features -> same
+        # eval-mode IDs at any params); rows 2,3 are a far-apart "pair".
+        base = rng.randn(12)
+        x = jnp.asarray(np.stack([base, base, rng.randn(12), -rng.randn(12)]
+                                 + [rng.randn(12) for _ in range(4)]),
+                        jnp.float32)
+        te = jnp.asarray(rng.randn(8, 2, 6), jnp.float32)
+        ti = jnp.zeros((8, 2), jnp.int32)
+        variables = model.init(
+            {"params": jax.random.key(0), "gumbel": jax.random.key(1),
+             "dropout": jax.random.key(2), "mixup": jax.random.key(3)},
+            x, te, ti, 0.2, train=False,
+        )
+        return model, variables, x, te, ti
+
+    def _apply(self, model, variables, x, te, ti, n_mined_pairs):
+        out, _ = model.apply(
+            variables, x, te, ti, 0.2, train=True, n_mined_pairs=n_mined_pairs,
+            rngs={"gumbel": jax.random.key(4), "dropout": jax.random.key(5),
+                  "mixup": jax.random.key(6)},
+            mutable=["batch_stats"],
+        )
+        return out
+
+    def test_exact_duplicate_pair_detected_and_penalized(self):
+        model, variables, x, te, ti = self._setup()
+        out0 = self._apply(model, variables, x, te, ti, 0)
+        out2 = self._apply(model, variables, x, te, ti, 2)
+        # Pair (0,1) is an exact duplicate -> collides under eval-mode IDs.
+        assert float(out2.mined_pair_collision_rate) >= 0.5
+        assert float(out0.mined_pair_collision_rate) == 0.0
+        # cos(enc, enc) = 1 on the duplicate pair -> penalty ~1 over margin 0;
+        # the term is weighted into sem_id_uniqueness_loss (and the total).
+        assert float(out2.sem_id_uniqueness_loss) > float(
+            out0.sem_id_uniqueness_loss) + 0.5
+        assert float(out2.loss) > float(out0.loss)
+
+    def test_gradient_flows_to_encoder(self):
+        model, variables, x, te, ti = self._setup()
+
+        def mined_only(params):
+            out, _ = model.apply(
+                {**variables, "params": params}, x, te, ti, 0.2, train=True,
+                n_mined_pairs=2,
+                rngs={"gumbel": jax.random.key(4),
+                      "dropout": jax.random.key(5),
+                      "mixup": jax.random.key(6)},
+                mutable=["batch_stats"],
+            )
+            return out.sem_id_uniqueness_loss
+
+        g = jax.grad(mined_only)(variables["params"])
+        enc_norm = sum(
+            float(jnp.abs(l).sum())
+            for l in jax.tree_util.tree_leaves(g["encoder"])
+        )
+        assert enc_norm > 0.0
