@@ -199,6 +199,13 @@ class HRqVae(nn.Module):
     alignment_temperature: float = 0.1
     sem_id_uniqueness_weight: float = 0.5
     sem_id_uniqueness_margin: float = 0.5
+    # Margin for the mined-pair term only (PARITY #18). None -> reuse
+    # sem_id_uniqueness_margin. A high margin (e.g. 0.9) pushes a colliding
+    # pair just far enough to cross fine-level codebook cell boundaries
+    # instead of driving cos to <= 0 — measured: margin 0.0 cuts 200k-corpus
+    # repetition (0.167 -> ~0.13) but costs ~10pp eval tag accuracy from the
+    # over-separation (BASELINE.md XL mining row).
+    sem_id_mining_margin: Optional[float] = None
     use_label_smoothing: bool = True
     label_smoothing_alpha: float = 0.1
     use_mixup: bool = True
@@ -492,7 +499,10 @@ class HRqVae(nn.Module):
             eq = jnp.all(pair_ids[:, 0] == pair_ids[:, 1], axis=-1)
             f = l2norm(enc_p, axis=-1)
             cos = jnp.sum(f[0::2] * f[1::2], axis=-1)
-            pen = jax.nn.relu(cos - self.sem_id_uniqueness_margin) * eq
+            m_margin = (self.sem_id_mining_margin
+                        if self.sem_id_mining_margin is not None
+                        else self.sem_id_uniqueness_margin)
+            pen = jax.nn.relu(cos - m_margin) * eq
             n_coll = jnp.sum(eq)
             mined = jnp.where(
                 n_coll > 0, jnp.sum(pen) / jnp.maximum(n_coll, 1), 0.0

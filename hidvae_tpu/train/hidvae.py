@@ -99,6 +99,7 @@ def build_model(
     use_mixup=True,
     mixup_alpha=0.2,
     dtype=jnp.float32,
+    sem_id_mining_margin=None,
 ) -> HRqVae:
     return HRqVae(
         dtype=dtype,
@@ -124,6 +125,7 @@ def build_model(
         alignment_temperature=alignment_temperature,
         sem_id_uniqueness_weight=sem_id_uniqueness_weight,
         sem_id_uniqueness_margin=sem_id_uniqueness_margin,
+        sem_id_mining_margin=sem_id_mining_margin,
         use_label_smoothing=use_label_smoothing,
         label_smoothing_alpha=label_smoothing_alpha,
         use_mixup=use_mixup,
@@ -294,6 +296,7 @@ def train(
     sem_id_mining=False,
     sem_id_mining_frac=0.25,
     sem_id_mining_pool=32768,
+    sem_id_mining_margin=None,
 ):
     """Train the HiD-VAE tokenizer. Returns a result dict with the final
     state, tokenizer, and metric history."""
@@ -406,6 +409,7 @@ def train(
         alignment_temperature=alignment_temperature,
         sem_id_uniqueness_weight=sem_id_uniqueness_weight,
         sem_id_uniqueness_margin=sem_id_uniqueness_margin,
+        sem_id_mining_margin=sem_id_mining_margin,
         use_label_smoothing=use_label_smoothing,
         label_smoothing_alpha=label_smoothing_alpha,
         use_mixup=use_mixup,
