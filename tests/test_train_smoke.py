@@ -176,6 +176,33 @@ class TestHidvaeTrainer:
         # 4-digit semantic IDs in the diversity audit path.
         assert len(hist["codebook_usage"]) == 4
 
+    def test_short_run_xxl_launch_surface(self, dataset_root, tmp_path):
+        """Regression for the 1M-corpus (xxl) launch combination: bf16
+        device-resident data storage + k-means init + margin-gated duplicate
+        mining, all at once (each knob has its own test elsewhere; this pins
+        the composition the h_rqvae_synthetic_xxl/xl4m2 configs actually
+        launch with)."""
+        from hidvae_tpu.train.hidvae import train
+
+        result = train(
+            iterations=4, batch_size=16, learning_rate=1e-3,
+            dataset_folder=dataset_root, dataset=RecDataset.SYNTHETIC,
+            save_dir_root=str(tmp_path / "out"),
+            eval_every=4, save_model_every=4,
+            vae_input_dim=TINY["feature_dim"], vae_n_cat_feats=0,
+            vae_hidden_dims=(32, 16), vae_embed_dim=8,
+            vae_codebook_size=32, vae_n_layers=4,
+            tag_embed_dim=TINY["tag_dim"], rare_tag_threshold=3,
+            eval_batches=2, log_every=2, make_plots=False,
+            amp=True, device_data_dtype="bfloat16",
+            use_kmeans_init=True, sem_id_mining=True,
+            sem_id_mining_frac=0.25, sem_id_mining_margin=0.9,
+            sem_id_mining_pool=64, id_repetition_threshold=1.0,
+        )
+        hist = result["history"]
+        assert np.isfinite(hist["total_loss"]).all()
+        assert len(hist["repetition_rate"]) >= 1
+
     def test_checkpoint_roundtrip(self, dataset_root, tmp_path):
         from hidvae_tpu.train.common import restore_checkpoint
         from hidvae_tpu.train.hidvae import train
