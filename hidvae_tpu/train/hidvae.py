@@ -476,15 +476,32 @@ def train(
 
     start_iter = 0
     opt_state = None
+    restored_mining_pairs = None
     if pretrained_hrqvae_path is not None:
         # Full-state resume: params + batch stats + optimizer state (incl.
         # MultiSteps accumulator and schedule counts) + step, matching the
         # reference's {iter, model, optimizer} dict (train_hidvae.py:621-628).
-        restored = restore_checkpoint(
-            pretrained_hrqvae_path,
-            {"params": params, "batch_stats": batch_stats,
-             "opt_state": tx.init(params), "step": jnp.zeros((), jnp.int32)},
-        )
+        example = {"params": params, "batch_stats": batch_stats,
+                   "opt_state": tx.init(params), "step": jnp.zeros((), jnp.int32)}
+        if sem_id_mining:
+            # The mining pool is trainer STATE (it shapes every batch), so it
+            # round-trips through the checkpoint like the optimizer state; the
+            # -1 sentinel detects checkpoints from before pool persistence (or
+            # a changed pool size), which fall back to the uniform seed below.
+            example["mining_pairs"] = jnp.full(
+                (sem_id_mining_pool, 2), -1, jnp.int32
+            )
+        restored = restore_checkpoint(pretrained_hrqvae_path, example)
+        if sem_id_mining:
+            cand = np.asarray(restored.get("mining_pairs"))
+            if (cand >= 0).all() and int(cand.max()) < len(train_dataset):
+                restored_mining_pairs = cand
+                logger.info("Restored mining pool from checkpoint "
+                            f"({len(cand)} pair slots)")
+            else:
+                logger.warning(
+                    "Checkpoint has no usable mining pool; re-seeding uniform "
+                    "until the next corpus audit")
         params = restored["params"]
         batch_stats = restored["batch_stats"]
         opt_state = restored["opt_state"]
@@ -583,16 +600,18 @@ def train(
     # signal that scales with the corpus instead of the ~B/N batch-birthday
     # rate. Zero recompiles: the pool is a fixed-shape leaf of the `data` jit
     # argument, seeded uniform (≈ plain sampling) until the first audit. On
-    # resume the pool re-seeds uniform until the next audit re-harvests it
-    # (PARITY deviation list).
-    init_pairs = (
-        jnp.asarray(
-            np_rng.randint(0, len(train_dataset), (sem_id_mining_pool, 2)),
-            jnp.int32,
-        )
-        if n_pair_rows
-        else None
-    )
+    # resume the pool restores from checkpoint meta (arrays payload), so a
+    # resumed mining run trains against the exact pool it saved with — the
+    # same bit-identical-resume standard as params/opt_state (PARITY #18).
+    init_pairs = None
+    if n_pair_rows:
+        if restored_mining_pairs is not None:
+            init_pairs = jnp.asarray(restored_mining_pairs, jnp.int32)
+        else:
+            init_pairs = jnp.asarray(
+                np_rng.randint(0, len(train_dataset), (sem_id_mining_pool, 2)),
+                jnp.int32,
+            )
     if n_pair_rows:
         logger.info(
             f"Semantic-ID duplicate mining ON: {n_pair_rows} pairs/batch "
@@ -725,9 +744,14 @@ def train(
             if n_pair_rows:
                 from hidvae_tpu.train.device_data import harvest_duplicate_pairs
 
+                # The harvest subsample is seeded by (seed, audit step), not
+                # the trainer's running host RNG, so the pool after an audit
+                # is a pure function of the corpus IDs at that step — a
+                # resumed run that re-audits at the same step harvests the
+                # identical pool (resume equivalence across audit boundaries).
                 pairs = harvest_duplicate_pairs(
                     corpus_ids, train_dataset.indices, sem_id_mining_pool,
-                    np_rng,
+                    np.random.RandomState((seed * 1_000_003 + it) % (2 ** 31)),
                 )
                 if pairs is not None:
                     ddata = ddata._replace(mining_pairs=jnp.asarray(pairs))
@@ -757,7 +781,8 @@ def train(
                         f"RQLOSS{eval_metrics['rqvae_loss']:.4f}_DUPR{rep:.4f}"
                     )
                     path = _save(save_dir, name, state, model, eval_metrics,
-                                 rep, plateau_ctl)
+                                 rep, plateau_ctl,
+                                 ddata.mining_pairs if n_pair_rows else None)
                     saved_paths.append(path)
                     logger.info(f"Gated checkpoint saved: {path}")
         if do_save_now:
@@ -767,7 +792,8 @@ def train(
             # rather than risking a false collapse error).
             rep_now = last_audit[1] if last_audit[0] == it else None
             path = _save(save_dir, "latest", state, model, {}, rep_now,
-                         plateau_ctl)
+                         plateau_ctl,
+                         ddata.mining_pairs if n_pair_rows else None)
             saved_paths.append(path)
 
     if make_plots:
@@ -834,7 +860,8 @@ def _run_eval(eval_step, tta_predict, eval_dataset, batch_size, has_tags,
     return out
 
 
-def _save(save_dir, name, state, model, eval_metrics, rep, plateau_ctl=None):
+def _save(save_dir, name, state, model, eval_metrics, rep, plateau_ctl=None,
+          mining_pairs=None):
     payload = {
         "step": state.step,
         "params": state.params,
@@ -849,4 +876,7 @@ def _save(save_dir, name, state, model, eval_metrics, rep, plateau_ctl=None):
     }
     if plateau_ctl is not None:
         payload["plateau"] = plateau_ctl.state_dict()
+    if mining_pairs is not None:
+        # Duplicate-mining pool: trainer state, restored on resume (PARITY #18).
+        payload["mining_pairs"] = mining_pairs
     return save_checkpoint(save_dir, name, payload)

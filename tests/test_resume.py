@@ -83,6 +83,77 @@ class TestHidvaeResume:
         _assert_states_equal(full["state"], resumed["state"])
 
 
+class TestHidvaeMiningResume:
+    def test_mining_pool_resume_equivalence(self, dataset_root, tmp_path):
+        """A duplicate-mining run restores its harvested pool from the
+        checkpoint (PARITY #18): train 4 == train 2 / save / restore / train 2,
+        bit-for-bit, across an audit boundary. The pool rides the checkpoint's
+        arrays payload, and the audit harvest is seeded by (seed, audit step)
+        so both runs re-harvest identically at step 2 and 4."""
+        import orbax.checkpoint as ocp
+
+        from hidvae_tpu.train.hidvae import train
+
+        common = dict(
+            batch_size=16, learning_rate=1e-3, dataset_folder=dataset_root,
+            dataset=RecDataset.SYNTHETIC,
+            eval_every=2, do_eval=True, eval_batches=1,
+            id_repetition_threshold=0.0,  # never gate-save in this test
+            sem_id_mining=True, sem_id_mining_frac=0.25,
+            sem_id_mining_pool=16, sem_id_mining_margin=0.9,
+            vae_input_dim=TINY["feature_dim"], vae_n_cat_feats=0,
+            vae_hidden_dims=(32, 16), vae_embed_dim=8, vae_codebook_size=32,
+            vae_n_layers=3, tag_embed_dim=TINY["tag_dim"], rare_tag_threshold=3,
+            log_every=2, make_plots=False, seed=7,
+        )
+        full = train(iterations=4, save_model_every=2,
+                     save_dir_root=str(tmp_path / "full"), **common)
+        half = train(iterations=2, save_model_every=2,
+                     save_dir_root=str(tmp_path / "half"), **common)
+        ckpt = half["saved_paths"][-1]
+        # The checkpoint carries the pool.
+        with ocp.PyTreeCheckpointer() as ckptr:
+            assert "mining_pairs" in ckptr.restore(ckpt)
+        resumed = train(iterations=2, save_model_every=2,
+                        save_dir_root=str(tmp_path / "resumed"),
+                        pretrained_hrqvae_path=ckpt, **common)
+
+        assert _opt_state_nontrivial(resumed["state"])
+        _assert_states_equal(full["state"], resumed["state"])
+
+        # The final saved pools agree too (same post-audit harvest at step 4).
+        with ocp.PyTreeCheckpointer() as ckptr:
+            pool_full = np.asarray(
+                ckptr.restore(full["saved_paths"][-1])["mining_pairs"])
+            pool_resumed = np.asarray(
+                ckptr.restore(resumed["saved_paths"][-1])["mining_pairs"])
+        np.testing.assert_array_equal(pool_full, pool_resumed)
+
+    def test_pre_persistence_checkpoint_reseeds(self, dataset_root, tmp_path):
+        """A mining run restoring a checkpoint saved WITHOUT a pool (mining
+        off, e.g. pre-round-5 checkpoints) must fall back to the uniform seed
+        instead of training against the -1 sentinel."""
+        from hidvae_tpu.train.hidvae import train
+
+        common = dict(
+            batch_size=16, learning_rate=1e-3, dataset_folder=dataset_root,
+            dataset=RecDataset.SYNTHETIC,
+            eval_every=10_000, do_eval=False,
+            vae_input_dim=TINY["feature_dim"], vae_n_cat_feats=0,
+            vae_hidden_dims=(32, 16), vae_embed_dim=8, vae_codebook_size=32,
+            vae_n_layers=3, tag_embed_dim=TINY["tag_dim"], rare_tag_threshold=3,
+            log_every=2, make_plots=False, seed=7,
+        )
+        plain = train(iterations=2, save_model_every=2,
+                      save_dir_root=str(tmp_path / "plain"), **common)
+        resumed = train(iterations=2, save_model_every=10_000,
+                        save_dir_root=str(tmp_path / "resumed"),
+                        pretrained_hrqvae_path=plain["saved_paths"][-1],
+                        sem_id_mining=True, sem_id_mining_frac=0.25,
+                        sem_id_mining_pool=16, **common)
+        assert np.isfinite(resumed["history"]["total_loss"]).all()
+
+
 class TestRqvaeResume:
     def test_resume_equivalence(self, dataset_root, tmp_path):
         from hidvae_tpu.train.rqvae import train

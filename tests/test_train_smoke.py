@@ -177,11 +177,12 @@ class TestHidvaeTrainer:
         assert len(hist["codebook_usage"]) == 4
 
     def test_short_run_xxl_launch_surface(self, dataset_root, tmp_path):
-        """Regression for the 1M-corpus (xxl) launch combination: bf16
+        """Regression for the UNION of the 1M-corpus launch knobs: bf16
         device-resident data storage + k-means init + margin-gated duplicate
-        mining, all at once (each knob has its own test elsewhere; this pins
-        the composition the h_rqvae_synthetic_xxl/xl4m2 configs actually
-        launch with)."""
+        mining, all at once (each knob has its own test elsewhere). No single
+        shipped config enabled all three until h_rqvae_synthetic_xxl_m.gin
+        (xxl's bf16 device data + xl4m2's margin-gated mining); this test
+        pins that composition plus the superset of xxl/xl4m2."""
         from hidvae_tpu.train.hidvae import train
 
         result = train(
