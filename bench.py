@@ -593,6 +593,19 @@ def main():
         details["pallas_kernel_drift"] = str(e)
     except Exception as e:
         log(f"pallas verify failed to run: {e}")
+    try:
+        # Fold in the latest MFU-attribution report (scripts/profile_attrib.py
+        # — component ablation + bytes-accessed roofline; run separately
+        # because it owns the TPU for minutes) so the driver-captured
+        # BENCH_DETAILS carries the attribution fields every round.
+        import glob
+
+        reports = sorted(glob.glob("out/logs/profile_attrib*.json"))
+        if reports:
+            with open(reports[-1]) as f:
+                details["attribution"] = json.load(f)
+    except Exception as e:
+        log(f"attribution report merge failed: {e}")
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)
     baseline = torch_baseline_items_per_sec()
