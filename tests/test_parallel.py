@@ -139,10 +139,25 @@ class TestGraftEntry:
         assert "dryrun_multichip OK" in r.stdout
 
 
+# Failure signatures of the rendezvous/collective LAYER (coordination-service
+# gRPC deadlines, Gloo's hardcoded ~30s store timeouts, TCP setup) — on this
+# one-core host any concurrent heavy process can starve workers past these
+# fixed deadlines, which is an environment flake, not a collectives
+# regression. Anything else (assertion, crash, loss mismatch) fails hard.
+_RETRYABLE_DIST_ERRORS = (
+    "DEADLINE_EXCEEDED", "Timed out", "timed out", "wait_at_barrier",
+    "Connection refused", "Connection reset", "Socket closed",
+    "UNAVAILABLE", "parent-side communicate timeout",
+)
+
+
 def _launch_dist_workers():
     """Launch the two-OS-process Gloo DP workers and wait for both; returns
     (procs, [(stdout, stderr)]). Wedged workers are always killed so they
-    cannot hold the coordination port / CPU core for the rest of the suite."""
+    cannot hold the coordination port / CPU core for the rest of the suite.
+    A parent-side wait timeout is reported as a normal failed attempt
+    (killed workers, synthetic stderr) instead of raising, so the caller's
+    retry logic sees it."""
     import socket
     import subprocess
     import sys
@@ -178,6 +193,17 @@ def _launch_dist_workers():
         ))
     try:
         outs = [p.communicate(timeout=600) for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        outs = []
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=30)
+            except Exception:
+                out, err = "", ""
+            outs.append((out, err + "\nparent-side communicate timeout"))
     finally:
         for p in procs:
             if p.poll() is None:
@@ -234,19 +260,29 @@ class TestDistributedInit:
         surface (SURVEY §2.7) end-to-end, not just the init call."""
         import re
 
-        procs, outs = _launch_dist_workers()
-        if any(p.returncode != 0 and "DEADLINE_EXCEEDED" in err
-               for p, (_, err) in zip(procs, outs)):
-            # Gloo's key-value store has a fixed ~30s rendezvous timeout; on
-            # this single-core host a concurrent heavy process (e.g. a TPU
-            # trainer's host side) can starve the workers past it. That is an
-            # environment flake, not a collectives regression — retry once.
+        for attempt in (1, 2, 3):
             procs, outs = _launch_dist_workers()
+            failures = [
+                (p.returncode, err[-3000:])
+                for p, (_, err) in zip(procs, outs) if p.returncode != 0
+            ]
+            if not failures:
+                break
+            retryable = any(
+                tok in err for _, err in failures
+                for tok in _RETRYABLE_DIST_ERRORS
+            )
+            # Retry ONLY known rendezvous/collective-deadline starvation
+            # (see _RETRYABLE_DIST_ERRORS); real worker crashes fail hard and
+            # the last attempt always fails hard.
+            assert retryable and attempt < 3, (
+                f"dist workers failed (attempt {attempt}, "
+                f"retryable={retryable}): {failures}"
+            )
         losses = {}
         for p, (out, err) in zip(procs, outs):
-            assert p.returncode == 0, err[-3000:]
             m = re.search(r"DIST_LOSS (\d) ([\d.]+)", out)
-            assert m, out
+            assert m, (out, err[-2000:])
             losses[int(m.group(1))] = float(m.group(2))
         assert set(losses) == {0, 1}
         # Replicated loss: bit-identical across ranks.
