@@ -206,6 +206,17 @@ class HRqVae(nn.Module):
     # repetition (0.167 -> ~0.13) but costs ~10pp eval tag accuracy from the
     # over-separation (BASELINE.md XL mining row).
     sem_id_mining_margin: Optional[float] = None
+    # Loss isolation for mined rows (PARITY #18, round-5 ablation): when True,
+    # the first 2*n_mined_pairs rows contribute ONLY to the mined-pair
+    # uniqueness penalty — recon / quantize / tag losses and the in-batch
+    # uniqueness term are computed on the remaining (uniformly sampled) rows.
+    # Motivation (measured): mining's ~10pp eval-tag-accuracy cost was
+    # margin-INsensitive (0.657 @ margin 0 vs 0.668 @ margin 0.9), pointing at
+    # batch-composition shift — mined rows replace 25% of the uniform batch,
+    # oversampling duplicate-dense cluster cores in every tag/recon gradient —
+    # rather than over-separation. Isolation restores a uniform training
+    # distribution for all non-uniqueness losses.
+    mined_loss_isolation: bool = False
     use_label_smoothing: bool = True
     label_smoothing_alpha: float = 0.1
     use_mixup: bool = True
@@ -473,19 +484,30 @@ class HRqVae(nn.Module):
             tags_emb = tags_emb.astype(jnp.float32)
 
         encoded = self.encode(x)
+        # Loss isolation (mined_loss_isolation): all non-uniqueness losses are
+        # computed on the uniformly sampled rows only; the mined rows' sole
+        # gradient path is the pair penalty below. Static slices (n_mined_pairs
+        # is a trace-time constant), so jit shapes stay fixed. The single
+        # shared encode pass means BatchNorm statistics still see all rows.
+        iso = self.mined_loss_isolation and n_mined_pairs > 0
+        cut = 2 * n_mined_pairs if iso else 0
+        main_enc = encoded[cut:]
+        main_x = x[cut:]
+        main_te = tags_emb[cut:] if tags_emb is not None else None
+        main_ti = tags_indices[cut:] if tags_indices is not None else None
         quantized = self.get_semantic_ids(
-            encoded, tags_emb, tags_indices, gumbel_t, train=train,
+            main_enc, main_te, main_ti, gumbel_t, train=train,
             class_counts=class_counts,
         )
         x_hat = self.reconstruct(jnp.sum(quantized.embeddings, axis=-2))
         if self.n_cat_features > 0:
-            recon = categorical_reconstruction_loss(x_hat, x, self.n_cat_features)
+            recon = categorical_reconstruction_loss(x_hat, main_x, self.n_cat_features)
         else:
-            recon = reconstruction_loss(x_hat, x)
+            recon = reconstruction_loss(x_hat, main_x)
 
         uniq = uniqueness_loss(
             quantized.sem_ids,
-            encoded,
+            main_enc,
             margin=self.sem_id_uniqueness_margin,
             weight=self.sem_id_uniqueness_weight,
         )

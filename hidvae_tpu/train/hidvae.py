@@ -100,6 +100,7 @@ def build_model(
     mixup_alpha=0.2,
     dtype=jnp.float32,
     sem_id_mining_margin=None,
+    mined_loss_isolation=False,
 ) -> HRqVae:
     return HRqVae(
         dtype=dtype,
@@ -126,6 +127,7 @@ def build_model(
         sem_id_uniqueness_weight=sem_id_uniqueness_weight,
         sem_id_uniqueness_margin=sem_id_uniqueness_margin,
         sem_id_mining_margin=sem_id_mining_margin,
+        mined_loss_isolation=mined_loss_isolation,
         use_label_smoothing=use_label_smoothing,
         label_smoothing_alpha=label_smoothing_alpha,
         use_mixup=use_mixup,
@@ -297,6 +299,7 @@ def train(
     sem_id_mining_frac=0.25,
     sem_id_mining_pool=32768,
     sem_id_mining_margin=None,
+    sem_id_mining_isolate=False,
 ):
     """Train the HiD-VAE tokenizer. Returns a result dict with the final
     state, tokenizer, and metric history."""
@@ -410,6 +413,7 @@ def train(
         sem_id_uniqueness_weight=sem_id_uniqueness_weight,
         sem_id_uniqueness_margin=sem_id_uniqueness_margin,
         sem_id_mining_margin=sem_id_mining_margin,
+        mined_loss_isolation=sem_id_mining_isolate,
         use_label_smoothing=use_label_smoothing,
         label_smoothing_alpha=label_smoothing_alpha,
         use_mixup=use_mixup,

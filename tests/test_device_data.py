@@ -244,3 +244,73 @@ class TestMinedPairLoss:
             for l in jax.tree_util.tree_leaves(g["encoder"])
         )
         assert enc_norm > 0.0
+
+
+class TestMinedLossIsolation:
+    """mined_loss_isolation=True (round-5 ablation knob): mined rows feed ONLY
+    the pair penalty — recon / quantize / tag losses must equal a plain
+    forward over the uniform rows alone, removing the batch-composition shift
+    that margin-insensitively cost ~10pp eval tag accuracy at 200k items
+    (BASELINE.md mining-line summary)."""
+
+    def _models_and_data(self):
+        import dataclasses
+
+        from hidvae_tpu.models.hrqvae import HRqVae
+        from hidvae_tpu.models.quantize import QuantizeForwardMode
+
+        base = HRqVae(
+            input_dim=12, embed_dim=8, hidden_dims=(16,), codebook_size=8,
+            n_layers=2, n_cat_features=0, tag_class_counts=[3, 3],
+            tag_embed_dim=6,
+            codebook_mode=QuantizeForwardMode.ROTATION_TRICK,
+            sem_id_uniqueness_weight=2.0, sem_id_uniqueness_margin=0.0,
+        )
+        iso = dataclasses.replace(base, mined_loss_isolation=True)
+        rng = np.random.RandomState(0)
+        row = rng.randn(12)
+        x = jnp.asarray(
+            np.stack([row, row, rng.randn(12), -rng.randn(12)]
+                     + [rng.randn(12) for _ in range(4)]), jnp.float32)
+        te = jnp.asarray(rng.randn(8, 2, 6), jnp.float32)
+        ti = jnp.zeros((8, 2), jnp.int32)
+        variables = base.init(
+            {"params": jax.random.key(0), "gumbel": jax.random.key(1),
+             "dropout": jax.random.key(2), "mixup": jax.random.key(3)},
+            x, te, ti, 0.2, train=False,
+        )
+        return base, iso, variables, x, te, ti
+
+    def test_non_uniqueness_losses_see_only_uniform_rows(self):
+        base, iso, variables, x, te, ti = self._models_and_data()
+        # Eval-mode forwards: deterministic (no dropout/mixup), BN running
+        # stats -> per-row outputs independent of batch composition.
+        out_iso = iso.apply(variables, x, te, ti, 0.2, train=False,
+                            n_mined_pairs=2)
+        out_main = base.apply(variables, x[4:], te[4:], ti[4:], 0.2,
+                              train=False, n_mined_pairs=0)
+        np.testing.assert_allclose(
+            float(out_iso.reconstruction_loss),
+            float(out_main.reconstruction_loss), rtol=1e-6)
+        np.testing.assert_allclose(
+            float(out_iso.rqvae_loss), float(out_main.rqvae_loss), rtol=1e-6)
+        np.testing.assert_allclose(
+            float(out_iso.tag_pred_loss), float(out_main.tag_pred_loss),
+            rtol=1e-6)
+        np.testing.assert_allclose(
+            float(out_iso.tag_align_loss), float(out_main.tag_align_loss),
+            rtol=1e-6)
+        # The mined duplicate pair (rows 0,1) is still detected and penalized.
+        assert float(out_iso.mined_pair_collision_rate) >= 0.5
+        assert float(out_iso.sem_id_uniqueness_loss) > float(
+            out_main.sem_id_uniqueness_loss) + 0.5
+
+    def test_without_isolation_mined_rows_shift_losses(self):
+        base, _, variables, x, te, ti = self._models_and_data()
+        out_full = base.apply(variables, x, te, ti, 0.2, train=False,
+                              n_mined_pairs=2)
+        out_main = base.apply(variables, x[4:], te[4:], ti[4:], 0.2,
+                              train=False, n_mined_pairs=0)
+        # Control: with isolation OFF the duplicated rows change recon loss.
+        assert abs(float(out_full.reconstruction_loss)
+                   - float(out_main.reconstruction_loss)) > 1e-6
