@@ -58,9 +58,19 @@ def run_one_step(devices) -> float:
         local = host[jax.process_index() * rows : (jax.process_index() + 1) * rows]
         return jax.make_array_from_process_local_data(b_shard, local, host.shape)
 
+    # Explicit PRNG impl: the parent pytest process may have run tests that
+    # call configure_runtime() (switching the process default to 'rbg'), while
+    # the spawned workers run threefry — with default-impl keys the in-test
+    # reference would deterministically diverge from the workers whenever the
+    # suite runs other tests first (the round-4 "flake" was exactly this:
+    # ranks agreed at 74.05, the polluted parent reference computed 65.06).
+    # Impl-pinned keys make the step a pure function of the key values.
+    def _key(i):
+        return jax.random.key(i, impl="threefry2x32")
+
     variables = model.init(
-        {"params": jax.random.key(7), "gumbel": jax.random.key(8),
-         "dropout": jax.random.key(9), "mixup": jax.random.key(10)},
+        {"params": _key(7), "gumbel": _key(8),
+         "dropout": _key(9), "mixup": _key(10)},
         jnp.asarray(x), jnp.asarray(te), jnp.asarray(ti), 0.2, train=True,
     )
     tx = optax.adamw(1e-3)
@@ -76,7 +86,7 @@ def run_one_step(devices) -> float:
 
     step = jax.jit(make_train_step(model, tx, None, 0.2))
     xg, teg, tig = put_batch(x), put_batch(te), put_batch(ti)
-    key = jax.random.key(11)
+    key = _key(11)
     if jax.process_count() > 1:
         # Compile before communicating: XLA:CPU's Gloo collectives have a
         # hardcoded ~30s timeout, and on a loaded single-core host the two
